@@ -1,0 +1,126 @@
+"""Model zoo + registry.
+
+Mirrors the reference dispatch ``model_entry(config)`` keyed on
+``config.type`` (``prototype/model/__init__.py:5-6``) and accepts the same
+nested YAML kwargs (``image_encode`` / ``text_encode`` / ``clip`` / ``fdt``
+blocks from ``example/*/config_cc3m.yaml``).  Returns a flax Module; params
+are created by the caller with an explicit RNG (functional-by-construction).
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+
+from .clip import CLIP
+from .fdt import CLIPFDT, FDTConfig, QueryModel
+from .sparsemax import sparsemax, sparsemax_bisect
+from .text import TextConfig, TextTransformer, text_base, text_large
+from .vit import VisionConfig, VisionTransformer, vit_b16, vit_b32, vit_l14, vit_l16
+
+__all__ = [
+    "CLIP", "CLIPFDT", "FDTConfig", "QueryModel", "TextConfig", "TextTransformer",
+    "VisionConfig", "VisionTransformer", "model_entry", "sparsemax", "sparsemax_bisect",
+]
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+           "fp32": jnp.float32}
+
+
+def _common(kwargs: Mapping[str, Any]):
+    img_kw = dict(kwargs.get("image_encode", {}))
+    txt_kw = dict(kwargs.get("text_encode", {}))
+    # reference text_encode keys that do not apply to the JAX build
+    for dead in ("bpe_path", "text_encode_type", "text_model_utils"):
+        txt_kw.pop(dead, None)
+    dtype = _DTYPES[str(kwargs.get("dtype", "float32"))]
+    remat = bool(kwargs.get("remat", False))
+    use_flash = bool(kwargs.get("use_flash", False))
+    img_kw.setdefault("remat", remat)
+    img_kw.setdefault("use_flash", use_flash)
+    txt_kw.setdefault("remat", remat)
+    txt_kw.setdefault("use_flash", use_flash)
+    return img_kw, txt_kw, dtype
+
+
+def _clip(vision_factory, text_factory, kwargs):
+    img_kw, txt_kw, dtype = _common(kwargs)
+    clip_kw = dict(kwargs.get("clip", {}))
+    clip_kw.pop("use_allgather", None)  # gathering is implicit under SPMD
+    return CLIP(vision_cfg=vision_factory(**img_kw), text_cfg=text_factory(**txt_kw),
+                dtype=dtype)
+
+
+def _clip_fdt(vision_factory, text_factory, kwargs):
+    img_kw, txt_kw, dtype = _common(kwargs)
+    fdt_kw = dict(kwargs.get("fdt", {}))
+    fdt_kw.pop("use_allgather", None)
+    fdt_cfg = FDTConfig(**fdt_kw)
+    return CLIPFDT(
+        vision_cfg=vision_factory(**img_kw),
+        text_cfg=text_factory(**txt_kw),
+        fdt_cfg=fdt_cfg,
+        dtype=dtype,
+    )
+
+
+# -- factories (names match the reference factory functions) ----------------
+def clip_vitb32(**kw):
+    return _clip(vit_b32, text_base, kw)
+
+
+def clip_vitb16(**kw):
+    return _clip(vit_b16, text_base, kw)
+
+
+def clip_vitL14(**kw):
+    return _clip(vit_l14, text_large, kw)
+
+
+def clip_vitL16(**kw):
+    return _clip(vit_l16, text_large, kw)
+
+
+def clip_res50(**kw):
+    from .resnet import resnet_r50
+
+    return _clip(resnet_r50, text_base, kw)
+
+
+def clip_res101(**kw):
+    from .resnet import resnet_r101
+
+    return _clip(resnet_r101, text_base, kw)
+
+
+def clip_fdt_vitb32(**kw):
+    return _clip_fdt(vit_b32, text_base, kw)
+
+
+def clip_fdt_vitb16(**kw):
+    return _clip_fdt(vit_b16, text_base, kw)
+
+
+_REGISTRY = {
+    "clip_vitb32": clip_vitb32,
+    "clip_vitb16": clip_vitb16,
+    "clip_vitL14": clip_vitL14,
+    "clip_vitL16": clip_vitL16,
+    "clip_res50": clip_res50,
+    "clip_res101": clip_res101,
+    "clip_fdt_vitb32": clip_fdt_vitb32,
+    "clip_fdt_vitb16": clip_fdt_vitb16,
+}
+
+
+def register_model(name: str, factory):
+    _REGISTRY[name] = factory
+
+
+def model_entry(config) -> Any:
+    """``config`` is a mapping with ``type`` and ``kwargs`` (reference schema)."""
+    mtype = config["type"] if isinstance(config, Mapping) else config.type
+    kwargs = dict(config.get("kwargs", {}))
+    if mtype not in _REGISTRY:
+        raise KeyError(f"unknown model type {mtype!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[mtype](**kwargs)

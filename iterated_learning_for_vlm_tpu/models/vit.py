@@ -1,0 +1,106 @@
+"""Vision transformer tower (CLIP-style).
+
+Parity target: reference ``prototype/model/image_encoder/visual_transformer.py``:
+conv patch embed (bias-free, *permanently frozen* per ``freeze_conv1=True``,
+lines 12,45-52 — the freeze itself lives in the optimizer masks here, see
+``train/optim.py``), class token, learned positional embedding, pre/post LN,
+linear projection; ``forward`` returns the projected CLS embedding plus
+optionally the dense patch tokens (pre-``ln_post``) and the raw CLS feature.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .initializers import scaled_normal, torch_kaiming_uniform
+from .layers import LayerNorm, Transformer
+
+
+@dataclass(frozen=True)
+class VisionConfig:
+    input_resolution: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    embed_dim: int = 512
+    remat: bool = False
+    use_flash: bool = False
+
+
+class VisionTransformer(nn.Module):
+    cfg: VisionConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray):
+        """images: [B, H, W, 3] (NHWC, TPU-native layout).
+
+        Returns dict with ``embed`` [B, E], ``patches`` [B, grid^2, W] (dense
+        tokens before ln_post), ``pooled_raw`` [B, W] (CLS after ln_post).
+        """
+        cfg = self.cfg
+        scale = cfg.width ** -0.5
+
+        x = nn.Conv(
+            features=cfg.width,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            use_bias=False,
+            kernel_init=torch_kaiming_uniform(),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv1",
+        )(images.astype(self.dtype))
+        b, gh, gw, w = x.shape
+        x = x.reshape(b, gh * gw, w)
+
+        cls = self.param("class_embedding", scaled_normal(scale), (cfg.width,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, w)), x], axis=1
+        )
+        pos = self.param(
+            "positional_embedding",
+            scaled_normal(0.01),
+            ((cfg.input_resolution // cfg.patch_size) ** 2 + 1, cfg.width),
+        )
+        x = x + pos.astype(self.dtype)
+        x = LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+
+        x = Transformer(
+            width=cfg.width,
+            layers=cfg.layers,
+            heads=cfg.heads,
+            causal=False,
+            remat=cfg.remat,
+            dtype=self.dtype,
+            use_flash=cfg.use_flash,
+            name="transformer",
+        )(x)
+
+        patches = x[:, 1:, :]
+        pooled_raw = LayerNorm(dtype=self.dtype, name="ln_post")(x[:, 0, :])
+        proj = self.param("proj", scaled_normal(scale), (cfg.width, cfg.embed_dim))
+        embed = pooled_raw @ proj.astype(self.dtype)
+        return {"embed": embed, "patches": patches, "pooled_raw": pooled_raw}
+
+
+# Factory configs mirroring the reference factory dims
+# (``visual_transformer.py:97-168``).
+def vit_b32(embed_dim=512, **kw) -> VisionConfig:
+    return VisionConfig(patch_size=32, width=768, layers=12, heads=12, embed_dim=embed_dim, **kw)
+
+
+def vit_b16(embed_dim=512, **kw) -> VisionConfig:
+    return VisionConfig(patch_size=16, width=768, layers=12, heads=12, embed_dim=embed_dim, **kw)
+
+
+def vit_l14(embed_dim=768, **kw) -> VisionConfig:
+    return VisionConfig(patch_size=14, width=1024, layers=24, heads=16, embed_dim=embed_dim, **kw)
+
+
+def vit_l16(embed_dim=768, **kw) -> VisionConfig:
+    return VisionConfig(patch_size=16, width=1024, layers=24, heads=16, embed_dim=embed_dim, **kw)
