@@ -1,0 +1,257 @@
+"""CC3M image-text training pipeline.
+
+Parity target: reference ``prototype/data/datasets/clip_dataset_wsd.py:158-240``
+(``get_wds_dataset``): shard list -> deterministic (seed, epoch) shard shuffle
+-> per-node/per-worker split -> throwless tar expansion -> 5000-sample buffer
+shuffle -> decode -> augment -> tokenize -> fixed-size batches, with the same
+``with_epoch`` sizing arithmetic and a ``DataInfo(set_epoch)`` handle.
+
+TPU-native differences:
+- tokenization happens here (fixed-shape int32 batches for the jitted step),
+- decode/augment runs in a thread pool (no torch DataLoader processes),
+- batches are NHWC float32 ready for ``jax.device_put`` sharded over the
+  ``data`` mesh axis; see :func:`prefetch_to_device`.
+"""
+from __future__ import annotations
+
+import collections
+import io
+import random
+import threading
+import queue as queue_mod
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ..utils.logging import get_logger
+from .augment import build_common_augmentation
+from .shards import detshuffle, expand_shard_pattern, iter_tar_samples, split_shards
+from .tokenizer import get_tokenizer
+
+logger = get_logger("data.pipeline")
+
+SHUFFLE_BUFFER = 5000  # reference detshuffle2 buffer consts (lines 108-111)
+IMAGE_EXTS = ("jpg", "jpeg", "png", "webp")
+TEXT_EXTS = ("txt", "text", "caption", "json")
+
+
+@dataclass
+class DataInfo:
+    """Reference ``DataInfo(dataloader, shared_epoch)`` equivalent."""
+
+    loader_fn: Callable[[int], Iterator[Dict[str, np.ndarray]]]
+    num_batches: int
+    num_samples: int
+
+    def __post_init__(self):
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    @property
+    def dataloader(self):
+        return self.loader_fn(self._epoch)
+
+
+def _sizing(num_samples: int, batch_size: int, world_size: int, workers: int):
+    """Reference sizing math (clip_dataset_wsd.py:213-223)."""
+    global_batch = batch_size * world_size
+    num_batches = num_samples // global_batch
+    workers = max(1, workers)
+    num_worker_batches = num_batches // workers
+    num_batches = num_worker_batches * workers
+    return num_batches, num_batches * global_batch
+
+
+def _decode_image(sample: Dict[str, bytes]) -> Optional[Image.Image]:
+    for ext in IMAGE_EXTS:
+        if ext in sample:
+            try:
+                return Image.open(io.BytesIO(sample[ext])).convert("RGB")
+            except Exception:
+                return None
+    return None
+
+
+def _decode_text(sample: Dict[str, bytes]) -> Optional[str]:
+    for ext in TEXT_EXTS:
+        if ext in sample:
+            try:
+                raw = sample[ext].decode("utf-8")
+            except Exception:
+                return None
+            if ext == "json":
+                import json
+
+                try:
+                    obj = json.loads(raw)
+                    return obj.get("caption") or obj.get("text")
+                except Exception:
+                    return None
+            return raw
+    return None
+
+
+def _buffered_shuffle(it: Iterator, buffer: int, rng: random.Random) -> Iterator:
+    buf: List = []
+    for item in it:
+        if len(buf) < buffer:
+            buf.append(item)
+            continue
+        idx = rng.randrange(len(buf))
+        yield buf[idx]
+        buf[idx] = item
+    rng.shuffle(buf)
+    yield from buf
+
+
+def get_wds_dataset(
+    cfg,
+    world_size: int = 1,
+    rank: int = 0,
+    tokenizer=None,
+    text_map: Optional[Callable[[str, random.Random], str]] = None,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> DataInfo:
+    """Build the training DataInfo from a reference-style ``data.train`` cfg
+    (keys: data_path, transforms, num_samples, num_shards, workers,
+    batch_size; ``config_cc3m.yaml:67-75``).
+
+    ``text_map`` enables the hard-negative caption variant (reference
+    ``get_neg_wds_dataset``); ``shuffle=False`` gives the unshuffled
+    visualization loader (clip_dataset_wsd.py:443-506).
+    """
+    data_path = cfg["data_path"]
+    shards = (
+        expand_shard_pattern(data_path) if isinstance(data_path, str) else list(data_path)
+    )
+    batch_size = int(cfg["batch_size"])
+    workers = int(cfg.get("workers", 4))
+    num_samples = int(cfg.get("num_samples", 0)) or len(shards) * 1000
+    augment = build_common_augmentation(cfg.get("transforms", "MOCOV2_single"))
+    tokenizer = tokenizer or get_tokenizer()
+    context_length = int(cfg.get("context_length", 77))
+
+    num_batches, sized_samples = _sizing(num_samples, batch_size, world_size, workers)
+
+    def loader(epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        epoch_shards = detshuffle(shards, seed, epoch) if shuffle else list(shards)
+        my_shards = split_shards(epoch_shards, rank, world_size)
+        if not my_shards:
+            my_shards = list(epoch_shards)
+        rng = random.Random((seed + 1) * 1000003 + epoch * 101 + rank)
+        aug_rng = np.random.default_rng((seed, epoch, rank, 7))
+
+        def samples() -> Iterator:
+            while True:  # loop shards to always fill num_batches per epoch
+                for shard in my_shards:
+                    yield from iter_tar_samples(shard)
+                if not shuffle:
+                    break
+
+        def decoded() -> Iterator:
+            stream = samples()
+            if shuffle:
+                stream = _buffered_shuffle(stream, SHUFFLE_BUFFER, rng)
+            pool = ThreadPoolExecutor(max_workers=max(1, workers))
+
+            def work(sample):
+                img = _decode_image(sample)
+                txt = _decode_text(sample)
+                if img is None or txt is None:
+                    return None
+                if text_map is not None:
+                    txt = text_map(txt, rng)
+                return augment(img, aug_rng), txt
+
+            window: collections.deque = collections.deque()
+            try:
+                for sample in stream:
+                    window.append(pool.submit(work, sample))
+                    if len(window) >= workers * 2:
+                        result = window.popleft().result()
+                        if result is not None:
+                            yield result
+                while window:
+                    result = window.popleft().result()
+                    if result is not None:
+                        yield result
+            finally:
+                pool.shutdown(wait=False, cancel_futures=True)
+
+        produced = 0
+        images: List[np.ndarray] = []
+        texts: List[str] = []
+        for img_arr, txt in decoded():
+            images.append(img_arr)
+            texts.append(txt)
+            if len(images) == batch_size:
+                tokens, pad_mask = tokenizer(texts, context_length=context_length)
+                yield {
+                    "image": np.stack(images).astype(np.float32),
+                    "tokens": tokens,
+                    "pad_mask": pad_mask,
+                }
+                images, texts = [], []
+                produced += 1
+                if produced >= num_batches:
+                    return
+
+    return DataInfo(loader_fn=loader, num_batches=num_batches, num_samples=sized_samples)
+
+
+def get_neg_wds_dataset(cfg, world_size=1, rank=0, tokenizer=None, seed=0) -> DataInfo:
+    """Hard-negative caption loader (reference ``get_neg_wds_dataset``,
+    clip_dataset_wsd.py:355-436): captions pass through POS-based word
+    swapping."""
+    from .hard_negatives import swap_elements
+
+    return get_wds_dataset(
+        cfg, world_size, rank, tokenizer, text_map=swap_elements, seed=seed
+    )
+
+
+def get_unshuffled_wds_dataset(cfg, world_size=1, rank=0, tokenizer=None) -> DataInfo:
+    """Unshuffled loader for visualization/analysis passes (reference
+    clip_dataset_wsd.py:443-506)."""
+    return get_wds_dataset(cfg, world_size, rank, tokenizer, shuffle=False)
+
+
+def prefetch_to_device(iterator: Iterator, mesh=None, size: int = 2) -> Iterator:
+    """Host->device pipelining: stage ``size`` batches ahead, sharded over the
+    mesh's data axis (replaces torch DataLoader prefetching + .cuda())."""
+    import jax
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+    else:
+        sharding = None
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    stop = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+                else:
+                    batch = jax.tree.map(jax.device_put, batch)
+                q.put(batch)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item

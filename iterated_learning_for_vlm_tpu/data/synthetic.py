@@ -1,0 +1,71 @@
+"""Synthetic + dummy datasets.
+
+- :class:`SyntheticClipData`: deterministic random image/caption batches for
+  benchmarks and smoke training (keeps the TPU fed with zero host decode
+  cost; the equivalent of training on pre-tokenized tensors).
+- :class:`DummyDataset`: one blank image with classes
+  ["blank image", "noisy image"] — mirror of the CLIP_benchmark test fixture
+  (reference ``CLIP_benchmark/clip_benchmark/datasets/builder.py:514-523``).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List
+
+import numpy as np
+
+from .tokenizer import get_tokenizer
+
+_WORDS = (
+    "a photo of the small big red blue green dog cat bird car tree house "
+    "person child water sky mountain street food table chair window flower"
+).split()
+
+
+class SyntheticClipData:
+    """Deterministic random batches shaped like the CC3M pipeline output."""
+
+    def __init__(self, batch_size: int, image_size: int = 224, context_length: int = 77,
+                 seed: int = 0, num_batches: int = 100, tokenizer=None):
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.context_length = context_length
+        self.seed = seed
+        self.num_batches = num_batches
+        self.tokenizer = tokenizer or get_tokenizer()
+
+    def caption(self, rng: np.random.Generator) -> str:
+        n = int(rng.integers(3, 12))
+        return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+    def batch(self, index: int = 0) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng((self.seed, index))
+        images = rng.standard_normal(
+            (self.batch_size, self.image_size, self.image_size, 3), dtype=np.float32
+        )
+        captions = [self.caption(rng) for _ in range(self.batch_size)]
+        tokens, pad_mask = self.tokenizer(captions, context_length=self.context_length)
+        return {"image": images, "tokens": tokens, "pad_mask": pad_mask}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for i in range(self.num_batches):
+            yield self.batch(i)
+
+
+class DummyDataset:
+    """CLIP_benchmark 'Dummy': N copies of a blank image, 2 classnames."""
+
+    classes: List[str] = ["blank image", "noisy image"]
+    templates: List[str] = ["a photo of {}"]
+
+    def __init__(self, n: int = 4, image_size: int = 224, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        blank = np.zeros((image_size, image_size, 3), np.float32)
+        noisy = rng.standard_normal((image_size, image_size, 3)).astype(np.float32)
+        self.images = [blank if i % 2 == 0 else noisy for i in range(n)]
+        self.labels = [i % 2 for i in range(n)]
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i):
+        return self.images[i], self.labels[i]

@@ -1,0 +1,104 @@
+"""Batched jitted encoders for the evaluation harness.
+
+Replaces the reference adapter ``CLIP_benchmark/clip_benchmark/models/fdt.py``
+(``MyModelZoo``): one wrapper exposes ``encode_images`` / ``encode_texts``
+over numpy/PIL inputs for both CLIP and CLIP-FDT params (FDT checkpoints use
+``extract_*_sd_ft`` features, CLIP uses ``encode_image/text`` — the same
+fallback order as the reference, fdt.py:60-83).
+
+All eval paths are *batched and jit-compiled with fixed shapes* (partial
+batches are padded), unlike the reference's batch-1 Python loops
+(e.g. ``eval/sugar_crepe.py:29-63`` runs ~14k single-sample forwards).
+"""
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.augment import build_common_augmentation
+from ..data.tokenizer import get_tokenizer
+
+
+class JitEncoder:
+    def __init__(
+        self,
+        model,
+        params,
+        is_fdt: bool,
+        tokenizer=None,
+        batch_size: int = 64,
+        transform: str = "ONECROP",
+        normalize: bool = True,
+    ):
+        self.model = model
+        self.params = params
+        self.is_fdt = is_fdt
+        self.tokenizer = tokenizer or get_tokenizer()
+        self.batch_size = batch_size
+        self.transform = build_common_augmentation(transform)
+        self.normalize = normalize
+        self.context_length = model.text_cfg.context_length
+        self.image_size = model.vision_cfg.input_resolution
+
+        def img_fn(params, images):
+            if is_fdt:
+                _, emb = model.apply({"params": params}, images, method="extract_img_sd_ft")
+            else:
+                emb = model.apply({"params": params}, images, method="encode_image")
+            if normalize:
+                emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-10)
+            return emb
+
+        def txt_fn(params, tokens, pad_mask):
+            if is_fdt:
+                _, emb = model.apply(
+                    {"params": params}, tokens, pad_mask, method="extract_txt_sd_ft"
+                )
+            else:
+                emb = model.apply({"params": params}, tokens, pad_mask, method="encode_text")
+            if normalize:
+                emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-10)
+            return emb
+
+        self._img_fn = jax.jit(img_fn)
+        self._txt_fn = jax.jit(txt_fn)
+
+    # -- images --------------------------------------------------------------
+    def preprocess(self, pil_images: Iterable) -> np.ndarray:
+        return np.stack([self.transform(im, None) for im in pil_images]).astype(np.float32)
+
+    def encode_images(self, images) -> np.ndarray:
+        """images: [N,H,W,3] float array, or a sequence of PIL images."""
+        if not isinstance(images, np.ndarray):
+            images = self.preprocess(images)
+        n = len(images)
+        out = []
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            chunk = images[i : i + bs]
+            pad = bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            emb = np.asarray(self._img_fn(self.params, jnp.asarray(chunk)))
+            out.append(emb[: len(images[i : i + bs])])
+        return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
+
+    # -- texts ---------------------------------------------------------------
+    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+        n = len(texts)
+        out = []
+        bs = self.batch_size
+        for i in range(0, n, bs):
+            chunk = list(texts[i : i + bs])
+            real = len(chunk)
+            if real < bs:
+                chunk = chunk + ["" for _ in range(bs - real)]
+            tokens, pad_mask = self.tokenizer(chunk, context_length=self.context_length)
+            emb = np.asarray(
+                self._txt_fn(self.params, jnp.asarray(tokens), jnp.asarray(pad_mask))
+            )
+            out.append(emb[:real])
+        return np.concatenate(out) if out else np.zeros((0, 1), np.float32)

@@ -1,0 +1,296 @@
+"""Training solver (orchestrator).
+
+Parity target: reference ``example/clip_fdt/train_solver.py`` (``ClsSolver``)
+and ``example/clip/train_solver.py``: env setup -> model -> optimizer -> data
+-> scheduler -> step-driven train loop with FDT temperature decay, logit-scale
+clipping, in-training SugarCREPE eval every ``val`` steps, checkpointing, and
+the iterated-learning reset block.
+
+The hot loop is ONE jitted step (``train/step.py``); this file only feeds
+batches, flips IL phases (host-side tree swaps, no recompiles), logs metrics
+and writes checkpoints.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import get_wds_dataset, prefetch_to_device
+from ..data.synthetic import SyntheticClipData
+from ..data.tokenizer import get_tokenizer
+from ..models import model_entry
+from ..parallel.mesh import create_mesh, replicate_tree
+from ..utils.config import Config
+from ..utils.logging import MetricsWriter, create_logger, get_logger
+from ..utils.meters import AverageMeter
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .il import ILController, ResetConfig
+from .optim import adamw_init, build_wd_tree, trainable_mask_tree
+from .schedule import scheduler_entry
+from .step import make_eval_step, make_train_step
+from .train_state import TrainState
+
+
+def fdt_temperature(step: int, t_decay: Optional[Config], default: float) -> float:
+    """Reference T-decay (train_solver.py:353-364): at every multiple of
+    ``sd_T_decay_iter`` set ``T = org_t * w^(step/decay_iter)`` floored at
+    ``sd_T_min``; constant ``org_t`` before the first boundary."""
+    if not t_decay:
+        return default
+    m = step // int(t_decay["sd_T_decay_iter"])
+    if m <= 0:
+        return float(t_decay["org_t"])
+    t = float(t_decay["org_t"]) * float(t_decay["sd_T_decay_w"]) ** m
+    return max(t, float(t_decay["sd_T_min"]))
+
+
+class Solver:
+    """Build + train a CLIP / CLIP-FDT model from a reference-schema config."""
+
+    def __init__(
+        self,
+        config: Config,
+        output_path: str = "output",
+        exp_name: str = "run",
+        batch_size: Optional[int] = None,
+        ckpt_path: Optional[str] = None,
+        debug: bool = False,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.debug = debug
+        self.seed = seed
+        if batch_size is not None:
+            config.data.train.batch_size = batch_size
+
+        reset_cfg = config.get("reset", {}) or {}
+        exp_name = (
+            f"{exp_name}_Reset_{reset_cfg.get('enable', False)}"
+            f"_steps_{reset_cfg.get('reset_steps', 0)}"
+            f"_smooth_{reset_cfg.get('smooth_steps', 0)}"
+        )
+        self.output_path = os.path.join(output_path, exp_name)
+        self.save_path = os.path.join(self.output_path, "checkpoints")
+        self.result_path = os.path.join(self.output_path, "results")
+        for p in (self.output_path, self.save_path, self.result_path):
+            os.makedirs(p, exist_ok=True)
+
+        create_logger(os.path.join(self.output_path, "log.txt"))
+        self.logger = get_logger("solver")
+        self.metrics_writer = MetricsWriter(
+            os.path.join(self.output_path, "metrics.jsonl"), enabled=not debug
+        )
+        config.dump_json(os.path.join(self.output_path, "config.json"))
+
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.world_size = int(np.prod(list(self.mesh.shape.values())))
+        self.is_fdt = "fdt" in config.model.type
+
+        self._build_model()
+        self._build_optimizer()
+        self._build_data()
+        self._build_lr_scheduler()
+        self._build_il()
+        self._last_iter = 0
+        if ckpt_path:
+            self.state = restore_checkpoint(ckpt_path, self.state)
+            self._last_iter = int(self.state.step)
+            self.logger.info("restored checkpoint %s at step %d", ckpt_path, self._last_iter)
+
+    # -- builders ------------------------------------------------------------
+    def _build_model(self):
+        self.model = model_entry(self.config.model)
+        tokenizer = get_tokenizer()
+        bs = 2
+        res = self.model.vision_cfg.input_resolution
+        ctx = self.model.text_cfg.context_length
+        dummy_img = jnp.zeros((bs, res, res, 3), jnp.float32)
+        dummy_tok = jnp.zeros((bs, ctx), jnp.int32)
+        dummy_pad = jnp.zeros((bs, ctx), jnp.float32)
+        rng = jax.random.PRNGKey(self.seed)
+
+        def init_fn(key=rng):
+            return self.model.init(key, dummy_img, dummy_tok, dummy_pad)["params"]
+
+        self._init_fn = init_fn
+        self.params = init_fn()
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+        self.logger.info("model %s: %.2fM params", self.config.model.type, n_params / 1e6)
+        self.tokenizer = tokenizer
+
+    def _build_optimizer(self):
+        opt_cfg = self.config.optimizer
+        pconfig = opt_cfg.get("pconfig", {})
+        kwargs = opt_cfg.get("kwargs", {})
+        self.wd_tree = build_wd_tree(self.params, float(kwargs.get("weight_decay", 0.0)), pconfig)
+        opt_state = adamw_init(self.params)
+        trainable = trainable_mask_tree(self.params, frozenset())
+        stored = self.params.get("space_dict") if self.is_fdt else None
+        self.state = TrainState.create(self.params, opt_state, trainable, stored)
+        self.state = replicate_tree(self.state, self.mesh)
+        betas = kwargs.get("betas", [0.9, 0.98])
+        self._adam_kw = dict(b1=float(betas[0]), b2=float(betas[1]),
+                             eps=float(kwargs.get("eps", 1e-8)))
+
+    def _build_data(self):
+        dcfg = self.config.data.train
+        if dcfg.get("synthetic", False):
+            data = SyntheticClipData(
+                batch_size=int(dcfg.batch_size),
+                image_size=self.model.vision_cfg.input_resolution,
+                context_length=self.model.text_cfg.context_length,
+                num_batches=int(dcfg.get("num_batches", 100)),
+            )
+            self.train_data = None
+            self._synthetic = data
+            self.num_batches_per_epoch = data.num_batches
+        else:
+            self._synthetic = None
+            self.train_data = get_wds_dataset(dcfg, world_size=1, tokenizer=get_tokenizer())
+            self.num_batches_per_epoch = self.train_data.num_batches
+
+    def _build_lr_scheduler(self):
+        sched_cfg = Config(self.config.lr_scheduler.to_dict())
+        reset_cfg = self.config.get("reset", {}) or {}
+        sched_cfg.kwargs.reset_steps = int(reset_cfg.get("reset_steps", 0)) if reset_cfg.get("enable", False) else 0
+        self.lr_schedule = scheduler_entry(sched_cfg)
+        self.max_iter = int(self.config.lr_scheduler.kwargs.get("max_iter", 0))
+
+        gc = self.config.get("grad_clip", {}) or {}
+        self.train_step = make_train_step(
+            self.model,
+            self.lr_schedule,
+            self.wd_tree,
+            is_fdt=self.is_fdt,
+            grad_clip_type=gc.get("type", "none"),
+            grad_clip_value=float(gc.get("value", 0.0) or 0.0),
+            grad_clip_max_value=float(gc.get("max_value", 0.0) or 0.0),
+            **self._adam_kw,
+        )
+        self.eval_step = make_eval_step(self.model, is_fdt=self.is_fdt)
+
+    def _build_il(self):
+        rcfg = self.config.get("reset", {}) or {}
+        self.reset_cfg = ResetConfig(
+            enable=bool(rcfg.get("enable", False)),
+            reset_steps=int(rcfg.get("reset_steps", 0) or 0),
+            reset_nums=int(rcfg.get("reset_nums", 0) or 0),
+            smooth_steps=int(rcfg.get("smooth_steps", 0) or 0),
+            distil_steps=int(rcfg.get("distil_steps", 0) or 0),
+            semantics=rcfg.get("semantics", "reference"),
+            reset_optimizer_state=bool(rcfg.get("reset_optimizer_state", True)),
+            freeze_vision_during_smooth=bool(rcfg.get("freeze_vision_during_smooth", True)),
+        )
+        self.il = ILController(
+            self.reset_cfg,
+            jax.random.PRNGKey(self.seed + 1),
+            model=self.model,
+            init_fn=lambda: self._init_fn(jax.random.PRNGKey(int(time.time()))),
+            logger=self.logger,
+        )
+
+    # -- loop ----------------------------------------------------------------
+    def _batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        if self._synthetic is not None:
+            it = iter(self._synthetic)
+        else:
+            self.train_data.set_epoch(epoch)
+            it = self.train_data.dataloader
+        return prefetch_to_device(it, self.mesh, size=2)
+
+    def train(self):
+        cfg = self.config
+        saver = cfg.get("saver", {}) or {}
+        print_freq = int(saver.get("print_freq", 100))
+        save_freq = int(saver.get("save_freq", 0) or 0)
+        val_freq = int(saver.get("val_freq", 6000) or 6000)
+        epochs = int(cfg.data.train.get("epoch", 1))
+        total_step = self.max_iter or epochs * self.num_batches_per_epoch
+        t_decay = cfg.get("t_decay", None)
+        default_T = (
+            float(self.model.fdt_cfg.sd_temperature) if self.is_fdt else 0.0
+        )
+
+        meters = {k: AverageMeter(print_freq) for k in ("loss", "acc1", "acc5", "batch_time", "data_time")}
+        step = self._last_iter
+        self.logger.info(
+            "training: %d batches/epoch, %d epochs, total_step %d, world %d",
+            self.num_batches_per_epoch, epochs, total_step, self.world_size,
+        )
+
+        done = False
+        end = time.time()
+        for epoch in range(epochs):
+            if done:
+                break
+            for batch in self._batches(epoch):
+                meters["data_time"].update(time.time() - end)
+                step += 1
+                temperature = fdt_temperature(step, t_decay, default_T) if self.is_fdt else 0.0
+                self.state, metrics = self.train_step(
+                    self.state, batch, jnp.asarray(temperature, jnp.float32)
+                )
+                self.state = self.il.on_step(self.state, step)
+
+                meters["batch_time"].update(time.time() - end)
+                end = time.time()
+                if step % print_freq == 0 or step % 50 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    meters["loss"].update(m["loss"])
+                    meters["acc1"].update(m["acc1"])
+                    meters["acc5"].update(m["acc5"])
+                    if step % print_freq == 0:
+                        remain = (total_step - step) * meters["batch_time"].avg
+                        self.logger.info(
+                            "Iter [%d/%d] loss %.4f (%.4f) acc1 %.2f lr %.3e "
+                            "logit_scale %.3f T %.3f bt %.3fs eta %.0fmin",
+                            step, total_step, m["loss"], meters["loss"].avg,
+                            m["acc1"], m["lr"], m["logit_scale"], temperature,
+                            meters["batch_time"].avg, remain / 60,
+                        )
+                        self.metrics_writer.log(
+                            {"loss_all": m["loss"], "acc1_train": m["acc1"],
+                             "acc5_train": m["acc5"], "lr": m["lr"],
+                             "logit_scale": m["logit_scale"],
+                             "batch_time": meters["batch_time"].avg},
+                            step=step,
+                        )
+
+                if val_freq and step % val_freq == 0:
+                    self.evaluate(step)
+                if save_freq and (step % save_freq == 0 or step == total_step):
+                    path = save_checkpoint(self.save_path, self.state, step,
+                                           k_times_every=save_freq * 10)
+                    self.logger.info("saved checkpoint %s", path)
+                if step >= total_step:
+                    done = True
+                    break
+        return self.state
+
+    # -- eval hook -----------------------------------------------------------
+    def evaluate(self, step: int):
+        """In-training SugarCREPE eval (reference train_solver.py:623-678);
+        silently skipped when eval data paths are not configured."""
+        test_cfg = self.config.data.get("test", {}) or {}
+        data_root = test_cfg.get("sc_data_root")
+        image_root = test_cfg.get("sc_image_root")
+        if not data_root or not os.path.isdir(str(data_root)):
+            return None
+        from ..eval.encode import JitEncoder
+        from ..eval.sugar_crepe import evaluate_sugar_crepe
+
+        encoder = JitEncoder(self.model, self.state.params, is_fdt=self.is_fdt,
+                             tokenizer=self.tokenizer)
+        metrics = evaluate_sugar_crepe(
+            encoder, data_root=str(data_root), image_root=str(image_root)
+        )
+        for k, v in metrics.items():
+            self.logger.info("eval step %d: %s = %.4f", step, k, v)
+        self.metrics_writer.log({f"eval/{k}": v for k, v in metrics.items()}, step=step)
+        return metrics
