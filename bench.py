@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark: CLIP-FDT ViT-B/32 training throughput (pairs/sec/chip).
+
+Runs the full jitted train step (forward + InfoNCE + backward + masked AdamW
++ clamps) on synthetic CC3M-shaped batches, per-device batch 256 — the
+reference training configuration (``example/clip_fdt/config_cc3m.yaml``:
+global batch 1024 over 4 GPUs => 256/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md).  The
+north-star target is ">=2x the 4xA100 pairs/sec/chip" of the reference
+PyTorch stack, which trains fp32 (its fp16 machinery is a no-op shim —
+SURVEY §2.6).  We use an engineering estimate of 850 pairs/sec per A100 for
+CLIP-FDT ViT-B/32 fp32 at batch 256 (ViT-B/32 CLIP forward+backward ~11
+GFLOPs/pair; A100 TF32 with typical 35-40% MFU on this mix, minus the 4096-
+codebook sort-based sparsemax and DDP overheads).  vs_baseline =
+value / (2 * 850): >= 1.0 meets the target.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.92")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iterated_learning_for_vlm_tpu.models import model_entry  # noqa: E402
+from iterated_learning_for_vlm_tpu.train.optim import (  # noqa: E402
+    adamw_init, build_wd_tree, trainable_mask_tree,
+)
+from iterated_learning_for_vlm_tpu.train.schedule import cosine  # noqa: E402
+from iterated_learning_for_vlm_tpu.train.step import make_train_step  # noqa: E402
+from iterated_learning_for_vlm_tpu.train.train_state import TrainState  # noqa: E402
+
+REF_A100_PAIRS_PER_SEC_PER_CHIP = 850.0
+TARGET_MULTIPLier = 2.0
+
+MODEL_CFG = {
+    "type": "clip_fdt_vitb32",
+    "kwargs": {
+        "image_encode": {"embed_dim": 512},
+        "text_encode": {"embed_dim": 512},
+        "fdt": {
+            "sd_temperature": 1000, "att_func_type": "sparsemax", "pool_type": "max",
+            "sd_num": 4096, "sd_dim": 512, "raw_img_ft_dim": 768,
+            "raw_txt_ft_dim": 512,
+            "sparsemax_method": "bisect",  # TPU-first sparsemax (no sort)
+        },
+        "dtype": "bfloat16",
+        "remat": False,
+    },
+}
+
+
+def main(batch_size=256, steps=20, warmup=3):
+    n_chips = jax.device_count()
+    model = model_entry(MODEL_CFG)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal((batch_size, 224, 224, 3), dtype=np.float32)),
+        "tokens": jnp.asarray(rng.integers(1, 49407, (batch_size, 77)), jnp.int32),
+        "pad_mask": jnp.zeros((batch_size, 77), jnp.float32),
+    }
+
+    params = model.init(
+        jax.random.PRNGKey(0), batch["image"][:2], batch["tokens"][:2], batch["pad_mask"][:2]
+    )["params"]
+    wd_tree = build_wd_tree(params, 0.1, {
+        "ln_w": {"weight_decay": 0}, "ln_b": {"weight_decay": 0},
+        "bias": {"weight_decay": 0}, "logit_scale": {"weight_decay": 0}})
+    state = TrainState.create(
+        params, adamw_init(params), trainable_mask_tree(params, frozenset()),
+        params["space_dict"],
+    )
+    schedule = cosine(5e-5, 5e-4, 0.0, 500, 80000, reset_steps=6000)
+    step_fn = make_train_step(
+        model, schedule, wd_tree, is_fdt=True,
+        grad_clip_type="logit_scale_param_value", grad_clip_value=3.0,
+        grad_clip_max_value=6.0,
+    )
+
+    temp = jnp.asarray(1000.0, jnp.float32)
+    for _ in range(warmup):
+        state, metrics = step_fn(state, batch, temp)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch, temp)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = batch_size * steps / dt / max(n_chips, 1)
+    target = TARGET_MULTIPLier * REF_A100_PAIRS_PER_SEC_PER_CHIP
+    print(json.dumps({
+        "metric": "clip_fdt_vitb32_train_pairs_per_sec_per_chip",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(pairs_per_sec / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    main(batch_size=bs)

@@ -1,0 +1,162 @@
+"""Evaluation dataset builder.
+
+Parity target: reference ``CLIP_benchmark/clip_benchmark/datasets/builder.py``
+(898 LoC registry).  Supported here:
+
+- ``dummy``: the reference's test fixture (one blank image, two classnames).
+- ``wds/<name>`` local webdataset-protocol directories: ``nshards.txt``,
+  ``classnames.txt``, ``zeroshot_templates.txt`` plus tar shards named
+  ``{0..n}.tar`` containing image + ``cls``/``txt``/``json`` members —
+  the exact on-disk layout the reference consumes from HF-hosted eval sets
+  (builder.py:698-797) minus the network fetch (zero-egress environment).
+- ``folder:<path>``: torchvision ImageFolder-style class-per-directory trees.
+- ``retrieval_json:<path>``: COCO/Flickr karpathy-style JSON
+  (``[{image: path, captions: [...]}, ...]``) for retrieval tasks.
+
+Each build returns an :class:`EvalDataset` with uniform fields, and
+``default_task`` mirrors the reference's task inference.
+"""
+from __future__ import annotations
+
+import io
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from ..data.shards import iter_tar_samples
+
+DEFAULT_TEMPLATES = ["a photo of a {}."]
+
+
+@dataclass
+class EvalDataset:
+    name: str
+    task: str  # zeroshot_classification | zeroshot_retrieval | linear_probe
+    images: List = field(default_factory=list)  # PIL images (lazy ok)
+    labels: Optional[np.ndarray] = None
+    classnames: List[str] = field(default_factory=list)
+    templates: List[str] = field(default_factory=list)
+    captions_per_image: Optional[List[List[str]]] = None
+
+    def __len__(self):
+        return len(self.images)
+
+
+def _read_lines(path: str) -> List[str]:
+    with open(path, encoding="utf-8") as f:
+        return [l.strip() for l in f if l.strip()]
+
+
+def build_dummy(n: int = 8) -> EvalDataset:
+    from ..data.synthetic import DummyDataset
+
+    d = DummyDataset(n=n)
+    images = [Image.fromarray((np.clip(x, 0, 1) * 255).astype(np.uint8)) for x in d.images]
+    return EvalDataset(
+        name="dummy", task="zeroshot_classification", images=images,
+        labels=np.asarray(d.labels), classnames=d.classes, templates=d.templates,
+    )
+
+
+def build_wds_dataset(root: str, name: str, split: str = "test") -> EvalDataset:
+    """Load a local wds-protocol eval set directory."""
+    base = os.path.join(root, split) if os.path.isdir(os.path.join(root, split)) else root
+    classnames = (
+        _read_lines(os.path.join(root, "classnames.txt"))
+        if os.path.exists(os.path.join(root, "classnames.txt"))
+        else []
+    )
+    tmpl_path = os.path.join(root, "zeroshot_classification_templates.txt")
+    templates = _read_lines(tmpl_path) if os.path.exists(tmpl_path) else list(DEFAULT_TEMPLATES)
+
+    nshards_path = os.path.join(base, "nshards.txt")
+    if os.path.exists(nshards_path):
+        nshards = int(_read_lines(nshards_path)[0])
+        shard_paths = [os.path.join(base, f"{i}.tar") for i in range(nshards)]
+    else:
+        shard_paths = sorted(
+            os.path.join(base, f) for f in os.listdir(base) if f.endswith(".tar")
+        )
+
+    images, labels, captions = [], [], []
+    has_captions = False
+    for shard in shard_paths:
+        for sample in iter_tar_samples(shard):
+            img_bytes = next(
+                (sample[e] for e in ("jpg", "jpeg", "png", "webp") if e in sample), None
+            )
+            if img_bytes is None:
+                continue
+            images.append(Image.open(io.BytesIO(img_bytes)).convert("RGB"))
+            if "cls" in sample:
+                labels.append(int(sample["cls"].decode().strip()))
+            if "txt" in sample:
+                has_captions = True
+                captions.append(sample["txt"].decode("utf-8").split("\n"))
+            elif "json" in sample:
+                obj = json.loads(sample["json"])
+                caps = obj.get("captions") or ([obj["caption"]] if "caption" in obj else None)
+                if caps:
+                    has_captions = True
+                    captions.append(caps)
+
+    if has_captions and not labels:
+        return EvalDataset(name=name, task="zeroshot_retrieval", images=images,
+                           captions_per_image=captions, templates=templates)
+    return EvalDataset(
+        name=name, task="zeroshot_classification", images=images,
+        labels=np.asarray(labels, np.int64) if labels else None,
+        classnames=classnames, templates=templates,
+    )
+
+
+def build_folder_dataset(path: str, name: str) -> EvalDataset:
+    classes = sorted(
+        d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
+    )
+    images, labels = [], []
+    for ci, c in enumerate(classes):
+        cdir = os.path.join(path, c)
+        for fn in sorted(os.listdir(cdir)):
+            if fn.lower().endswith((".jpg", ".jpeg", ".png", ".webp")):
+                images.append(Image.open(os.path.join(cdir, fn)).convert("RGB"))
+                labels.append(ci)
+    return EvalDataset(
+        name=name, task="zeroshot_classification", images=images,
+        labels=np.asarray(labels), classnames=[c.replace("_", " ") for c in classes],
+        templates=list(DEFAULT_TEMPLATES),
+    )
+
+
+def build_retrieval_json(path: str, name: str, image_root: str = "") -> EvalDataset:
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    images, captions = [], []
+    for item in data:
+        images.append(Image.open(os.path.join(image_root, item["image"])).convert("RGB"))
+        captions.append(list(item["captions"]))
+    return EvalDataset(name=name, task="zeroshot_retrieval", images=images,
+                       captions_per_image=captions)
+
+
+def build_dataset(name: str, root: str = "", split: str = "test") -> EvalDataset:
+    """Dispatch mirroring the reference ``build_dataset`` protocol names."""
+    if name == "dummy":
+        return build_dummy()
+    if name.startswith("wds/"):
+        ds_name = name[len("wds/"):]
+        ds_root = root.format(dataset=ds_name) if "{dataset}" in root else root
+        return build_wds_dataset(ds_root, ds_name, split)
+    if name.startswith("folder:"):
+        return build_folder_dataset(name[len("folder:"):], os.path.basename(name))
+    if name.startswith("retrieval_json:"):
+        return build_retrieval_json(name[len("retrieval_json:"):], name, image_root=root)
+    raise KeyError(f"unknown dataset spec {name!r}")
+
+
+def default_task(dataset: EvalDataset) -> str:
+    return dataset.task

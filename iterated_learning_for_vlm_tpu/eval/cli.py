@@ -1,0 +1,192 @@
+"""Evaluation CLI.
+
+Parity target: reference ``CLIP_benchmark/clip_benchmark/cli.py`` — the
+``eval`` subcommand iterating model x dataset, dispatching by task and
+dumping JSON ``{dataset, model, pretrained, task, metrics, language}`` —
+plus the standalone compositionality scripts behind one front-end mirroring
+``test.sh`` task names (compositionality | retrieval | recognition | probing).
+
+Usage examples::
+
+  python -m iterated_learning_for_vlm_tpu.eval.cli eval \
+      --model_config configs/clip_fdt_cc3m.yaml \
+      --pretrained out/checkpoints/ckpt_6000 \
+      --dataset dummy --output result.json
+
+  python -m iterated_learning_for_vlm_tpu.eval.cli sugar_crepe \
+      --model_config ... --pretrained ... \
+      --data_root sc_data --image_root coco/val2017 --output_folder results
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load_encoder(args):
+    from .model_loader import load_eval_encoder
+
+    ckpt = args.pretrained
+    if ckpt and "," in ckpt:
+        ckpt = ckpt.split(",")
+    return load_eval_encoder(args.model_config, ckpt, batch_size=args.batch_size)
+
+
+def _dump(args, dataset, task, metrics):
+    rec = {
+        "dataset": dataset,
+        "model": args.model_config,
+        "pretrained": args.pretrained,
+        "task": task,
+        "metrics": metrics,
+        "language": "en",
+    }
+    out = args.output
+    if out:
+        os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=2)
+    print(json.dumps(rec))
+    return rec
+
+
+def cmd_eval(args):
+    from .builder import build_dataset
+    from .zeroshot_classification import evaluate_zeroshot_classification
+    from .zeroshot_retrieval import evaluate_retrieval
+
+    encoder = _load_encoder(args)
+    ds = build_dataset(args.dataset, root=args.dataset_root, split=args.split)
+    task = args.task if args.task != "auto" else ds.task
+    if task == "zeroshot_classification":
+        metrics = evaluate_zeroshot_classification(
+            encoder, ds.images, ds.labels, ds.classnames, ds.templates
+        )
+    elif task == "zeroshot_retrieval":
+        metrics = evaluate_retrieval(encoder, ds.images, ds.captions_per_image,
+                                     recall_ks=tuple(args.recall_k))
+    elif task == "linear_probe":
+        from .linear_probe import evaluate_linear_probe
+
+        train_ds = build_dataset(args.dataset, root=args.dataset_root, split="train")
+        metrics = evaluate_linear_probe(
+            encoder, train_ds.images, train_ds.labels, ds.images, ds.labels,
+            fewshot_k=args.fewshot_k,
+        )
+    else:
+        raise SystemExit(f"unknown task {task}")
+    return _dump(args, args.dataset, task, metrics)
+
+
+def cmd_sugar_crepe(args):
+    from .sugar_crepe import evaluate_sugar_crepe
+
+    encoder = _load_encoder(args)
+    metrics = evaluate_sugar_crepe(encoder, args.data_root, args.image_root)
+    return _dump(args, "sugar_crepe", "compositionality", metrics)
+
+
+def cmd_cola(args):
+    from .group_match import evaluate_cola
+
+    encoder = _load_encoder(args)
+    metrics = evaluate_cola(encoder, args.json_path, args.image_root)
+    return _dump(args, "cola", "compositionality", metrics)
+
+
+def cmd_winoground(args):
+    from .group_match import evaluate_winoground
+
+    encoder = _load_encoder(args)
+    metrics = evaluate_winoground(encoder)
+    return _dump(args, "winoground", "compositionality", metrics)
+
+
+def cmd_crepe(args):
+    from .crepe import (
+        evaluate_crepe_csv, productivity_csv_path, systematicity_csv_path,
+    )
+
+    encoder = _load_encoder(args)
+    all_metrics = {}
+    image_dirs = args.image_dirs.split(",")
+    if args.compo_type == "productivity":
+        for complexity in args.complexities:
+            for neg in args.hard_neg_types:
+                path = productivity_csv_path(args.data_root, complexity, neg)
+                if os.path.exists(path):
+                    m = evaluate_crepe_csv(encoder, path, image_dirs,
+                                           hard_neg_key="hard_negs", crop=not args.no_crop)
+                    all_metrics[f"complexity_{complexity}_{neg}"] = m
+    else:
+        for split in ("seen_compounds", "unseen_compounds"):
+            for neg in args.hard_neg_types:
+                path = systematicity_csv_path(args.data_root, split, args.train_dataset)
+                if os.path.exists(path):
+                    key = f"valid_hard_negs_{neg}"
+                    m = evaluate_crepe_csv(encoder, path, image_dirs,
+                                           hard_neg_key=key, crop=not args.no_crop)
+                    all_metrics[f"{split}_{neg}"] = m
+    return _dump(args, f"crepe_{args.compo_type}", "compositionality", all_metrics)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="ilvlm-eval")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--model_config", required=True)
+        sp.add_argument("--pretrained", default=None,
+                        help="checkpoint dir; comma-separated list = weight soup")
+        sp.add_argument("--batch_size", type=int, default=64)
+        sp.add_argument("--output", default=None)
+
+    e = sub.add_parser("eval")
+    common(e)
+    e.add_argument("--dataset", required=True)
+    e.add_argument("--dataset_root", default="")
+    e.add_argument("--split", default="test")
+    e.add_argument("--task", default="auto")
+    e.add_argument("--recall_k", type=int, nargs="+", default=[1, 5, 10])
+    e.add_argument("--fewshot_k", type=int, default=-1)
+    e.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("sugar_crepe")
+    common(s)
+    s.add_argument("--data_root", required=True)
+    s.add_argument("--image_root", required=True)
+    s.set_defaults(fn=cmd_sugar_crepe)
+
+    c = sub.add_parser("cola")
+    common(c)
+    c.add_argument("--json_path", required=True)
+    c.add_argument("--image_root", required=True)
+    c.set_defaults(fn=cmd_cola)
+
+    w = sub.add_parser("winoground")
+    common(w)
+    w.set_defaults(fn=cmd_winoground)
+
+    cr = sub.add_parser("crepe")
+    common(cr)
+    cr.add_argument("--compo_type", choices=["productivity", "systematicity"],
+                    default="productivity")
+    cr.add_argument("--data_root", required=True)
+    cr.add_argument("--image_dirs", default="datasets/VG_100K,datasets/VG_100K_2")
+    cr.add_argument("--complexities", type=int, nargs="+", default=[5, 10])
+    cr.add_argument("--hard_neg_types", nargs="+", default=["atom", "swap", "negate"])
+    cr.add_argument("--train_dataset", default="cc12m")
+    cr.add_argument("--no_crop", action="store_true")
+    cr.set_defaults(fn=cmd_crepe)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Linear probing.
+
+Parity target: reference ``CLIP_benchmark/clip_benchmark/metrics/
+linear_probe.py``: cache frozen features, train a logistic-regression head
+with AdamW + cosine LR, optional fewshot-k subsetting and a validation-based
+weight-decay sweep; report acc1 / mean-per-class recall.
+
+The probe head trains as one jitted full-batch loop (features fit in memory
+at these scales), replacing the reference's torch DataLoader epochs.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .zeroshot_classification import accuracy_topk, mean_per_class_recall
+
+
+def _train_head(
+    feats: np.ndarray,
+    labels: np.ndarray,
+    num_classes: int,
+    *,
+    lr: float = 0.1,
+    weight_decay: float = 0.0,
+    steps: int = 500,
+    seed: int = 0,
+) -> np.ndarray:
+    """Full-batch logistic regression; returns [D+1, C] (weights + bias)."""
+    d = feats.shape[1]
+    x = jnp.asarray(feats)
+    y = jnp.asarray(labels)
+    w0 = jnp.zeros((d, num_classes), jnp.float32)
+    b0 = jnp.zeros((num_classes,), jnp.float32)
+
+    def loss_fn(wb, step):
+        w, b = wb
+        logits = x @ w + b
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
+        return nll + weight_decay * jnp.sum(w * w)
+
+    def body(i, carry):
+        (w, b), (mw, mb) = carry
+        gw, gb = jax.grad(lambda wb: loss_fn(wb, i))((w, b))
+        lr_i = lr * 0.5 * (1 + jnp.cos(jnp.pi * i / steps))
+        mw = 0.9 * mw + gw
+        mb = 0.9 * mb + gb
+        return (w - lr_i * mw, b - lr_i * mb), (mw, mb)
+
+    (w, b), _ = jax.lax.fori_loop(
+        0, steps, body, ((w0, b0), (jnp.zeros_like(w0), jnp.zeros_like(b0)))
+    )
+    return np.asarray(w), np.asarray(b)
+
+
+def fewshot_subset(labels: np.ndarray, k: int, seed: int = 0) -> np.ndarray:
+    """Indices of at most k examples per class (reference fewshot_k)."""
+    rng = np.random.default_rng(seed)
+    idxs = []
+    for c in np.unique(labels):
+        cand = np.where(labels == c)[0]
+        rng.shuffle(cand)
+        idxs.extend(cand[:k])
+    return np.sort(np.asarray(idxs))
+
+
+def evaluate_linear_probe(
+    encoder,
+    train_images,
+    train_labels: np.ndarray,
+    test_images,
+    test_labels: np.ndarray,
+    num_classes: Optional[int] = None,
+    fewshot_k: int = -1,
+    val_fraction: float = 0.0,
+    wd_candidates=(0.0, 1e-6, 1e-4, 1e-2),
+    steps: int = 500,
+    seed: int = 0,
+) -> Dict[str, float]:
+    train_labels = np.asarray(train_labels)
+    test_labels = np.asarray(test_labels)
+    num_classes = num_classes or int(train_labels.max()) + 1
+
+    train_feats = encoder.encode_images(train_images)
+    test_feats = encoder.encode_images(test_images)
+
+    if fewshot_k > 0:
+        idx = fewshot_subset(train_labels, fewshot_k, seed)
+        train_feats, train_labels = train_feats[idx], train_labels[idx]
+
+    best_wd = wd_candidates[0]
+    if val_fraction > 0 and len(wd_candidates) > 1:
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(len(train_feats))
+        n_val = max(1, int(len(perm) * val_fraction))
+        val_idx, tr_idx = perm[:n_val], perm[n_val:]
+        best_acc = -1.0
+        for wd in wd_candidates:
+            w, b = _train_head(train_feats[tr_idx], train_labels[tr_idx], num_classes,
+                               weight_decay=wd, steps=steps, seed=seed)
+            acc = float(np.mean((train_feats[val_idx] @ w + b).argmax(-1)
+                                == train_labels[val_idx]))
+            if acc > best_acc:
+                best_acc, best_wd = acc, wd
+
+    w, b = _train_head(train_feats, train_labels, num_classes,
+                       weight_decay=best_wd, steps=steps, seed=seed)
+    logits = test_feats @ w + b
+    metrics = accuracy_topk(logits, test_labels)
+    metrics["mean_per_class_recall"] = mean_per_class_recall(logits, test_labels)
+    metrics["weight_decay"] = float(best_wd)
+    return metrics

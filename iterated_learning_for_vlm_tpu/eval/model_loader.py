@@ -1,0 +1,63 @@
+"""Eval-side model loading (training checkpoints -> JitEncoder).
+
+Parity target: reference ``CLIP_benchmark/clip_benchmark/models/fdt.py``
+(``load_fdt``/``MyModelZoo``): build the training-side model from its YAML
+config, load a checkpoint (or a LIST of checkpoints averaged into a weight
+soup, fdt.py:28-40), and expose ``encode_image``/``encode_text``.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import jax
+
+from ..models import model_entry
+from ..train.checkpoint import restore_checkpoint, restore_params_soup
+from ..train.optim import adamw_init, trainable_mask_tree
+from ..train.train_state import TrainState
+from ..utils.config import Config, load_config
+from .encode import JitEncoder
+
+
+def build_model_from_config(config: Union[str, Config]):
+    cfg = load_config(config) if isinstance(config, str) else config
+    model = model_entry(cfg.model)
+    return model, "fdt" in cfg.model.type
+
+
+def init_template_state(model) -> TrainState:
+    import jax.numpy as jnp
+
+    res = model.vision_cfg.input_resolution
+    ctx = model.text_cfg.context_length
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, res, res, 3)), jnp.zeros((1, ctx), jnp.int32),
+        jnp.zeros((1, ctx)),
+    )["params"]
+    is_fdt = hasattr(model, "fdt_cfg")
+    stored = params.get("space_dict") if is_fdt else None
+    return TrainState.create(
+        params, adamw_init(params), trainable_mask_tree(params, frozenset()), stored
+    )
+
+
+def load_eval_encoder(
+    config: Union[str, Config],
+    checkpoint: Optional[Union[str, Sequence[str]]] = None,
+    batch_size: int = 64,
+    transform: str = "ONECROP",
+) -> JitEncoder:
+    """checkpoint may be a path, a list of paths (averaged soup), or None
+    (random init, for smoke tests)."""
+    model, is_fdt = build_model_from_config(config)
+    template = init_template_state(model)
+    if checkpoint is None:
+        params = template.params
+    elif isinstance(checkpoint, (list, tuple)) and len(checkpoint) > 1:
+        params = restore_params_soup(list(checkpoint), template)
+    else:
+        path = checkpoint[0] if isinstance(checkpoint, (list, tuple)) else checkpoint
+        params = restore_checkpoint(path, template).params
+    return JitEncoder(model, params, is_fdt=is_fdt, batch_size=batch_size,
+                      transform=transform)

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Training launcher (reference ``run.sh`` + ``train_solver.py main()``).
+
+torchrun's 4-process spawn is replaced by SPMD: one process drives the whole
+mesh (``jax.distributed.initialize()`` handles multi-host when present).
+
+  python scripts/train.py --config configs/clip_fdt_cc3m.yaml \
+      --output_path out --batch_size 256 --exp_name fdt_run
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="CLIP / CLIP-FDT trainer")
+    parser.add_argument("--config", required=True, type=str)
+    parser.add_argument("--output_path", required=True, type=str)
+    parser.add_argument("--batch_size", default=None, type=int)
+    parser.add_argument("--debug", default=False, action="store_true")
+    parser.add_argument("--exp_name", default="run")
+    parser.add_argument("--ckpt_path", default=None)
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() for multi-host pods")
+    args = parser.parse_args()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    from iterated_learning_for_vlm_tpu.train.solver import Solver
+    from iterated_learning_for_vlm_tpu.utils.config import load_config
+
+    config = load_config(args.config)
+    solver = Solver(
+        config,
+        output_path=args.output_path,
+        exp_name=args.exp_name,
+        batch_size=args.batch_size,
+        ckpt_path=args.ckpt_path,
+        debug=args.debug,
+        seed=args.seed,
+    )
+    max_iter = int(config.lr_scheduler.kwargs.get("max_iter", 0))
+    if solver._last_iter >= max_iter > 0:
+        solver.logger.info("Training has been completed to max_iter!")
+        return
+    solver.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Data pipeline tests: shards, shuffling determinism, augment shapes, batching."""
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from iterated_learning_for_vlm_tpu.data.augment import mocov2_single, onecrop
+from iterated_learning_for_vlm_tpu.data.pipeline import get_wds_dataset
+from iterated_learning_for_vlm_tpu.data.shards import (
+    detshuffle, expand_shard_pattern, iter_tar_samples, split_shards, write_tar_shard,
+)
+from iterated_learning_for_vlm_tpu.utils.config import Config
+
+
+def test_brace_expansion():
+    paths = expand_shard_pattern("data/cc3m/{00000..00331}.tar")
+    assert len(paths) == 332
+    assert paths[0] == "data/cc3m/00000.tar"
+    assert paths[-1] == "data/cc3m/00331.tar"
+    assert expand_shard_pattern("plain.tar") == ["plain.tar"]
+
+
+def test_detshuffle_deterministic():
+    items = list(range(50))
+    a = detshuffle(items, seed=0, epoch=3)
+    b = detshuffle(items, seed=0, epoch=3)
+    c = detshuffle(items, seed=0, epoch=4)
+    assert a == b
+    assert a != c
+    assert sorted(a) == items
+
+
+def test_split_shards_round_robin():
+    shards = [f"s{i}" for i in range(10)]
+    parts = [split_shards(shards, r, 4) for r in range(4)]
+    assert sorted(sum(parts, [])) == sorted(shards)
+    assert parts[0] == ["s0", "s4", "s8"]
+
+
+def _jpeg_bytes(value, size=32):
+    img = Image.fromarray(np.full((size, size, 3), value, np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+def _make_shards(tmp_path, n_shards=2, per_shard=8):
+    paths = []
+    k = 0
+    for s in range(n_shards):
+        samples = []
+        for i in range(per_shard):
+            samples.append({
+                "__key__": f"{k:06d}",
+                "jpg": _jpeg_bytes((k * 23) % 255),
+                "txt": f"caption number {k}".encode(),
+            })
+            k += 1
+        path = str(tmp_path / f"{s:05d}.tar")
+        write_tar_shard(path, iter(samples))
+        paths.append(path)
+    return paths
+
+
+def test_tar_roundtrip(tmp_path):
+    paths = _make_shards(tmp_path, 1, 4)
+    samples = list(iter_tar_samples(paths[0]))
+    assert len(samples) == 4
+    assert samples[0]["__key__"] == "000000"
+    assert b"caption number 0" == samples[0]["txt"]
+
+
+def test_tar_throwless(tmp_path):
+    bad = tmp_path / "bad.tar"
+    bad.write_bytes(b"this is not a tar file at all")
+    assert list(iter_tar_samples(str(bad))) == []
+
+
+def test_augment_shapes():
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(np.random.randint(0, 255, (300, 240, 3), np.uint8))
+    out = mocov2_single(img, rng)
+    assert out.shape == (224, 224, 3)
+    assert out.dtype == np.float32
+    out = onecrop(img)
+    assert out.shape == (224, 224, 3)
+    # normalization applied: values not in [0,1]
+    assert out.min() < -0.5
+
+
+def test_wds_pipeline_batches(tmp_path):
+    paths = _make_shards(tmp_path, 2, 16)
+    cfg = Config({
+        "data_path": paths, "transforms": "MOCOV2_single", "num_samples": 32,
+        "workers": 2, "batch_size": 8, "context_length": 32,
+    })
+    info = get_wds_dataset(cfg, world_size=1)
+    assert info.num_batches == 4
+    batches = list(info.dataloader)
+    assert len(batches) == 4
+    b = batches[0]
+    assert b["image"].shape == (8, 224, 224, 3)
+    assert b["tokens"].shape == (8, 32)
+    assert b["pad_mask"].shape == (8, 32)
+    assert b["tokens"].dtype == np.int32
+
+
+def test_wds_pipeline_epoch_determinism(tmp_path):
+    paths = _make_shards(tmp_path, 2, 16)
+    cfg = Config({
+        "data_path": paths, "transforms": "ONECROP", "num_samples": 32,
+        "workers": 1, "batch_size": 16, "context_length": 16,
+    })
+    info = get_wds_dataset(cfg, world_size=1)
+    info.set_epoch(0)
+    a = [b["tokens"].copy() for b in info.dataloader]
+    info.set_epoch(0)
+    b = [bb["tokens"].copy() for bb in info.dataloader]
+    info.set_epoch(1)
+    c = [bb["tokens"].copy() for bb in info.dataloader]
+    np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
+    assert not np.array_equal(np.concatenate(a), np.concatenate(c))

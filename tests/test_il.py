@@ -1,0 +1,148 @@
+"""Iterated-learning engine tests: reset semantics, freezes, codebook holding."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from iterated_learning_for_vlm_tpu.models import CLIPFDT, FDTConfig, TextConfig, VisionConfig
+from iterated_learning_for_vlm_tpu.train.il import ILController, ResetConfig, weight_reset_tree
+from iterated_learning_for_vlm_tpu.train.optim import TEXT_ROOTS, adamw_init, trainable_mask_tree
+from iterated_learning_for_vlm_tpu.train.train_state import TrainState
+
+V = VisionConfig(input_resolution=16, patch_size=8, width=32, layers=2, heads=2, embed_dim=16)
+T = TextConfig(context_length=12, vocab_size=128, width=32, heads=2, layers=2, embed_dim=16)
+F = FDTConfig(sd_num=32, sd_dim=16, raw_img_ft_dim=32, raw_txt_ft_dim=32, sd_temperature=5.0)
+
+
+@pytest.fixture(scope="module")
+def fdt_params():
+    model = CLIPFDT(vision_cfg=V, text_cfg=T, fdt_cfg=F)
+    imgs = jnp.zeros((2, 16, 16, 3))
+    toks = jnp.zeros((2, 12), jnp.int32)
+    pm = jnp.zeros((2, 12))
+    params = model.init(jax.random.PRNGKey(0), imgs, toks, pm)["params"]
+    return model, params
+
+
+def _flat(p):
+    return {tuple(map(str, k)): v for k, v in traverse_util.flatten_dict(p).items()}
+
+
+def test_weight_reset_reference_semantics(fdt_params):
+    _, params = fdt_params
+    new, mask = weight_reset_tree(params, TEXT_ROOTS, jax.random.PRNGKey(1), "reference")
+    old_f, new_f, mask_f = _flat(params), _flat(new), _flat(mask)
+
+    # kept: embeddings, positional, attention in_proj (torch MHA bare params)
+    for path in [
+        ("text", "token_embedding", "embedding"),
+        ("text", "positional_embedding"),
+        ("text", "transformer", "resblocks", "attn", "in_proj", "kernel"),
+    ]:
+        np.testing.assert_array_equal(np.asarray(old_f[path]), np.asarray(new_f[path]))
+        assert float(mask_f[path]) == 0.0
+
+    # reset: out_proj / mlp / LN / text_projection / txt_query q_map
+    for path in [
+        ("text", "transformer", "resblocks", "attn", "out_proj", "kernel"),
+        ("text", "transformer", "resblocks", "mlp", "c_fc", "kernel"),
+        ("text", "text_projection", "kernel"),
+        ("txt_query", "fc_1", "kernel"),
+    ]:
+        assert not np.allclose(np.asarray(old_f[path]), np.asarray(new_f[path])), path
+        assert float(mask_f[path]) == 1.0
+
+    # LayerNorms go back to 1/0
+    ln = ("text", "ln_final", "norm", "scale")
+    np.testing.assert_array_equal(np.asarray(new_f[ln]), 1.0)
+    assert float(mask_f[ln]) == 1.0
+
+    # vision untouched entirely
+    for path, v in old_f.items():
+        if path[0] in ("visual", "img_query"):
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(new_f[path]))
+
+
+def test_weight_reset_full_semantics(fdt_params):
+    model, params = fdt_params
+    fresh = model.init(
+        jax.random.PRNGKey(42), jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 12), jnp.int32),
+        jnp.zeros((2, 12)),
+    )["params"]
+    new, mask = weight_reset_tree(params, TEXT_ROOTS, jax.random.PRNGKey(1), "full", fresh)
+    old_f, new_f, fresh_f = _flat(params), _flat(new), _flat(fresh)
+    emb = ("text", "token_embedding", "embedding")
+    np.testing.assert_array_equal(np.asarray(new_f[emb]), np.asarray(fresh_f[emb]))
+    assert not np.allclose(np.asarray(new_f[emb]), np.asarray(old_f[emb]))
+
+
+def test_reset_distribution_parity(fdt_params):
+    """Reset Linears must follow torch-default kaiming uniform U(+-1/sqrt(fan_in))."""
+    _, params = fdt_params
+    new, _ = weight_reset_tree(params, TEXT_ROOTS, jax.random.PRNGKey(3), "reference")
+    k = np.asarray(_flat(new)[("text", "transformer", "resblocks", "mlp", "c_fc", "kernel")])
+    fan_in = k.shape[-2]
+    bound = 1 / np.sqrt(fan_in)
+    assert k.min() >= -bound and k.max() <= bound
+    # uniform std = bound/sqrt(3)
+    np.testing.assert_allclose(k.std(), bound / np.sqrt(3), rtol=0.15)
+
+
+def test_il_controller_schedule(fdt_params):
+    _, params = fdt_params
+    cfg = ResetConfig(enable=True, reset_steps=4, reset_nums=3, smooth_steps=2)
+    il = ILController(cfg, jax.random.PRNGKey(9))
+    state = TrainState.create(
+        params, adamw_init(params), trainable_mask_tree(params, frozenset()),
+        params["space_dict"],
+    )
+
+    # before the window: nothing happens
+    s = il.on_step(state, 4)
+    assert float(s.hold_codebook) == 0.0
+
+    # at reset boundary (step 8): snapshot + text reset + vision freeze
+    s = il.on_step(state, 8)
+    assert float(s.hold_codebook) == 1.0
+    np.testing.assert_array_equal(np.asarray(s.stored_codebook), np.asarray(params["space_dict"]))
+    old_f, new_f = _flat(params), _flat(s.params)
+    proj = ("text", "text_projection", "kernel")
+    assert not np.allclose(np.asarray(old_f[proj]), np.asarray(new_f[proj]))
+    # vision trainable mask now zero
+    tm = _flat(s.trainable)
+    assert float(tm[("visual", "proj")]) == 0.0
+    assert float(tm[("text", "text_projection", "kernel")]) == 1.0
+    # optimizer moments zeroed for reset leaves
+    cnt = _flat(s.opt_state["count"])
+    assert float(cnt[proj]) == 0.0
+
+    # at smooth end (step 8+2=10 => step % 4 == 2): release + unfreeze
+    s2 = il.on_step(s, 10)
+    assert float(s2.hold_codebook) == 0.0
+    tm2 = _flat(s2.trainable)
+    assert float(tm2[("visual", "proj")]) == 1.0
+    # conv1 always frozen
+    assert float(tm2[("visual", "conv1", "kernel")]) == 0.0
+
+
+def test_swap_vision_encoder(fdt_params):
+    _, params = fdt_params
+    cfg = ResetConfig(enable=True, reset_steps=4, reset_nums=3, smooth_steps=2)
+    il = ILController(cfg, jax.random.PRNGKey(10))
+    state = TrainState.create(
+        params, adamw_init(params), trainable_mask_tree(params, frozenset()),
+        params["space_dict"],
+    )
+    s1 = il.swap_vision_encoder(state, 0)  # no stored -> reset
+    p1 = _flat(s1.params)
+    old = _flat(params)
+    assert not np.allclose(
+        np.asarray(p1[("visual", "transformer", "resblocks", "mlp", "c_fc", "kernel")]),
+        np.asarray(old[("visual", "transformer", "resblocks", "mlp", "c_fc", "kernel")]),
+    )
+    s2 = il.swap_vision_encoder(s1, 1)  # stored == original weights
+    p2 = _flat(s2.params)
+    np.testing.assert_array_equal(
+        np.asarray(p2[("visual", "proj")]), np.asarray(old[("visual", "proj")])
+    )
