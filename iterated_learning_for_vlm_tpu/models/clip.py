@@ -38,13 +38,22 @@ def l2_normalize(x, eps: float = 0.0):
     return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
 
 
+def build_vision_tower(cfg, dtype):
+    """Dispatch the image encoder by config type (ViT vs ModifiedResNet)."""
+    from .resnet import ModifiedResNet, ResNetConfig
+
+    if isinstance(cfg, ResNetConfig):
+        return ModifiedResNet(cfg, dtype=dtype, name="visual")
+    return VisionTransformer(cfg, dtype=dtype, name="visual")
+
+
 class CLIP(nn.Module):
     vision_cfg: VisionConfig
     text_cfg: TextConfig
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.visual = VisionTransformer(self.vision_cfg, dtype=self.dtype, name="visual")
+        self.visual = build_vision_tower(self.vision_cfg, self.dtype)
         self.text = TextTransformer(self.text_cfg, dtype=self.dtype, name="text")
         self.logit_scale = self.param("logit_scale", constant_init(LOGIT_SCALE_INIT), (1,))
 

@@ -155,7 +155,9 @@ class CLIPFDT(nn.Module):
 
     def setup(self):
         cfg = self.fdt_cfg
-        self.visual = VisionTransformer(self.vision_cfg, dtype=self.dtype, name="visual")
+        from .clip import build_vision_tower
+
+        self.visual = build_vision_tower(self.vision_cfg, self.dtype)
         self.text = TextTransformer(self.text_cfg, dtype=self.dtype, name="text")
         self.space_dict = self.param(
             "space_dict", nn.initializers.normal(stddev=1.0), (cfg.sd_num, cfg.sd_dim)

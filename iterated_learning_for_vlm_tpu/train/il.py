@@ -200,8 +200,11 @@ class ILController:
         )
 
     def snapshot_codebook(self, state: TrainState) -> TrainState:
+        # jnp.copy: stored_codebook must NOT alias params["space_dict"] — the
+        # train step donates the state, and a buffer appearing twice in a
+        # donated pytree is a use-after-free.
         return state.replace(
-            stored_codebook=state.params["space_dict"],
+            stored_codebook=jnp.copy(state.params["space_dict"]),
             hold_codebook=jnp.ones((), jnp.float32),
         )
 

@@ -33,6 +33,10 @@ class TrainState:
     def create(cls, params, opt_state, trainable, stored_codebook=None):
         if stored_codebook is None:
             stored_codebook = jnp.zeros((1, 1), jnp.float32)
+        else:
+            # never alias a params leaf: the train step donates the state and
+            # a buffer appearing twice in a donated pytree is a use-after-free
+            stored_codebook = jnp.copy(stored_codebook)
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,

@@ -82,17 +82,24 @@ def test_clip_smoke_train(tmp_path):
 
 def test_fdt_il_smoke_train(tmp_path):
     mesh = create_mesh(8)
-    reset = {"enable": True, "reset_steps": 3, "reset_nums": 3, "smooth_steps": 2,
+    # window (4, 12); reset fires at step 8, smooth until step 8+3 -> training
+    # ends at step 9, i.e. mid-smooth: codebook must be held to the snapshot
+    # and the vision tower must be frozen.
+    reset = {"enable": True, "reset_steps": 4, "reset_nums": 3, "smooth_steps": 3,
              "save_freq": 1, "distil_steps": 0}
-    solver = Solver(_config("clip_fdt_tiny_test", max_iter=10, reset=reset),
+    solver = Solver(_config("clip_fdt_tiny_test", max_iter=9, reset=reset),
                     output_path=str(tmp_path), debug=True, mesh=mesh)
     state = solver.train()
-    assert int(state.step) == 10
-    loss_ok = np.isfinite(np.asarray(state.params["space_dict"]).sum())
-    assert loss_ok
-    # After step 10 the last transition was: step 9 reset (snapshot+hold),
-    # step 10 in smooth window -> codebook should equal the snapshot.
+    assert int(state.step) == 9
+    assert np.isfinite(np.asarray(state.params["space_dict"]).sum())
+    assert float(state.hold_codebook) == 1.0
     np.testing.assert_allclose(
         np.asarray(state.params["space_dict"]), np.asarray(state.stored_codebook)
     )
-    assert float(state.hold_codebook) == 1.0
+    # vision frozen mid-smooth, text trainable
+    from flax import traverse_util
+
+    tm = {tuple(map(str, k)): float(v)
+          for k, v in traverse_util.flatten_dict(state.trainable).items()}
+    assert tm[("visual", "proj")] == 0.0
+    assert tm[("text", "text_projection", "kernel")] == 1.0
