@@ -41,26 +41,30 @@ from iterated_learning_for_vlm_tpu.train.train_state import TrainState  # noqa: 
 REF_A100_PAIRS_PER_SEC_PER_CHIP = 850.0
 TARGET_MULTIPLier = 2.0
 
-MODEL_CFG = {
-    "type": "clip_fdt_vitb32",
-    "kwargs": {
-        "image_encode": {"embed_dim": 512},
-        "text_encode": {"embed_dim": 512},
-        "fdt": {
-            "sd_temperature": 1000, "att_func_type": "sparsemax", "pool_type": "max",
-            "sd_num": 4096, "sd_dim": 512, "raw_img_ft_dim": 768,
-            "raw_txt_ft_dim": 512,
-            "sparsemax_method": "bisect",  # TPU-first sparsemax (no sort)
+
+def model_cfg(remat: bool, fused: bool, flash: bool):
+    return {
+        "type": "clip_fdt_vitb32",
+        "kwargs": {
+            "image_encode": {"embed_dim": 512},
+            "text_encode": {"embed_dim": 512},
+            "fdt": {
+                "sd_temperature": 1000, "att_func_type": "sparsemax",
+                "pool_type": "max", "sd_num": 4096, "sd_dim": 512,
+                "raw_img_ft_dim": 768, "raw_txt_ft_dim": 512,
+                "sparsemax_method": "bisect",  # TPU-first sparsemax (no sort)
+                "use_fused_kernel": fused,     # Pallas fused codebook pooling
+            },
+            "dtype": "bfloat16",
+            "remat": remat,
+            "use_flash": flash,
         },
-        "dtype": "bfloat16",
-        "remat": False,
-    },
-}
+    }
 
 
-def main(batch_size=256, steps=20, warmup=3):
+def main(batch_size=256, steps=20, warmup=3, remat=True, fused=True, flash=False):
     n_chips = jax.device_count()
-    model = model_entry(MODEL_CFG)
+    model = model_entry(model_cfg(remat, fused, flash))
 
     rng = np.random.default_rng(0)
     batch = {
@@ -89,13 +93,16 @@ def main(batch_size=256, steps=20, warmup=3):
     temp = jnp.asarray(1000.0, jnp.float32)
     for _ in range(warmup):
         state, metrics = step_fn(state, batch, temp)
-    jax.block_until_ready(metrics["loss"])
+    # device->host transfer is the only reliable fence over the RPC transport
+    warm_loss = float(metrics["loss"])
+    assert np.isfinite(warm_loss), warm_loss
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step_fn(state, batch, temp)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), final_loss
 
     pairs_per_sec = batch_size * steps / dt / max(n_chips, 1)
     target = TARGET_MULTIPLier * REF_A100_PAIRS_PER_SEC_PER_CHIP
@@ -108,5 +115,22 @@ def main(batch_size=256, steps=20, warmup=3):
 
 
 if __name__ == "__main__":
-    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    main(batch_size=bs)
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("batch_size", nargs="?", type=int, default=256)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--no-fused", action="store_true")
+    p.add_argument("--flash", action="store_true")
+    a = p.parse_args()
+    try:
+        main(batch_size=a.batch_size, steps=a.steps, remat=not a.no_remat,
+             fused=not a.no_fused, flash=a.flash)
+    except Exception as e:  # fall back so the driver always gets a line
+        msg = str(e)
+        if "memory" in msg.lower() or "RESOURCE" in msg:
+            main(batch_size=max(32, a.batch_size // 2), steps=a.steps,
+                 remat=True, fused=not a.no_fused, flash=a.flash)
+        else:
+            raise

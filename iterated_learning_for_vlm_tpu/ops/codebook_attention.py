@@ -102,74 +102,127 @@ def _no_keep(kernel):
 
 
 # -- backward -----------------------------------------------------------------
-def _pooled_bwd_kernel(temp_ref, dp_ref, amax_ref, q_ref, sd_ref, keep_ref,
-                       dq_ref, dsd_ref, *, scale):
+# Two tiled kernels (a single kernel would need the full [N, D] codebook +
+# a full [N, D] accumulator in VMEM — 16 MB at N=4096/D=512, over the limit):
+#   dq kernel: grid (B, N_tiles), accumulates dq[b] over codebook tiles
+#              (innermost axis -> the output block stays resident in VMEM);
+#   dsd kernel: grid (N_tiles, B), accumulates dsd[n_tile] over batch rows.
+def _routing_matrix(dp, am, keep_row, coeff, t):
+    """[T, NN] one-hot routing: dp[n] at row argmax[n], scaled."""
+    nn = dp.shape[0]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (t, nn), 0)
+    m = jnp.where(t_ids == am[None, :], dp[None, :], 0.0) * coeff
+    if keep_row is not None:
+        m = m * keep_row[:, None]
+    return m
+
+
+def _bwd_dq_kernel(temp_ref, dp_ref, amax_ref, sd_ref, keep_ref, dq_ref, *, scale):
+    t = dq_ref.shape[1]
+    dp = dp_ref[0, 0].astype(jnp.float32)  # [NN]
+    am = amax_ref[0, 0]
+    keep_row = None if keep_ref is None else keep_ref[0, 0].astype(jnp.float32)
+    m = _routing_matrix(dp, am, keep_row, scale / temp_ref[0], t)
+    contrib = jnp.dot(m, sd_ref[...].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    dq_ref[0] += contrib.astype(dq_ref.dtype)
+
+
+def _bwd_dsd_kernel(temp_ref, dp_ref, amax_ref, q_ref, keep_ref, dsd_ref, *, scale):
     t = q_ref.shape[1]
-    n = sd_ref.shape[0]
-    dp = dp_ref[0].astype(jnp.float32)  # [N]
-    am = amax_ref[0]  # [N] int32
-    coeff = scale / temp_ref[0]
-
-    t_ids = jax.lax.broadcasted_iota(jnp.int32, (t, n), 0)
-    m = jnp.where(t_ids == am[None, :], dp[None, :], 0.0) * coeff  # [T, N]
-    if keep_ref is not None:
-        m = m * keep_ref[0].astype(jnp.float32)[:, None]
-
-    sd = sd_ref[...].astype(jnp.float32)
+    dp = dp_ref[0, 0].astype(jnp.float32)  # [NN]
+    am = amax_ref[0, 0]
+    keep_row = None if keep_ref is None else keep_ref[0, 0].astype(jnp.float32)
+    m = _routing_matrix(dp, am, keep_row, scale / temp_ref[0], t)
     q = q_ref[0].astype(jnp.float32)  # [T, D]
-    dq_ref[0] = jnp.dot(m, sd, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-
-    dsd_contrib = jax.lax.dot_general(
+    contrib = jax.lax.dot_general(
         m, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [N, D]
+    )  # [NN, D]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         dsd_ref[...] = jnp.zeros_like(dsd_ref)
 
-    dsd_ref[...] += dsd_contrib.astype(dsd_ref.dtype)
+    dsd_ref[...] += contrib.astype(dsd_ref.dtype)
 
 
-def _pooled_bwd(q, sd, keep, temperature, amax, dpooled):
+def _pooled_bwd(q, sd, keep, temperature, amax, dpooled, *, nn=512):
     b, t, d = q.shape
     n = sd.shape[0]
+    nn = min(nn, n)
+    n_tiles = _cdiv(n, nn)
     temp = jnp.asarray(temperature, jnp.float32).reshape(1)
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [temp, dpooled, amax, q, sd]
-    kernel = _pooled_bwd_kernel
-    if keep is not None:
-        in_specs.append(pl.BlockSpec((1, t), lambda i: (i, 0), memory_space=pltpu.VMEM))
-        args.append(keep.astype(jnp.float32))
-    else:
-        kernel = _no_keep_bwd(kernel)
-
+    dp3 = dpooled.reshape(b, 1, n)
+    am3 = amax.reshape(b, 1, n)
+    keep3 = None if keep is None else keep.astype(jnp.float32).reshape(b, 1, t)
     scale = d ** -0.5
-    dq, dsd = pl.pallas_call(
-        functools.partial(kernel, scale=scale),
-        out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct(sd.shape, jnp.float32),
-        ],
-        grid=(b,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+
+    # dq: grid (B, N_tiles); output block fixed per i, accumulated over j.
+    dq_in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, nn), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nn), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+    ]
+    dq_args = [temp, dp3, am3, sd]
+    dq_kernel = _bwd_dq_kernel
+    if keep3 is not None:
+        dq_in_specs.append(
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+        dq_args.append(keep3)
+    else:
+        dq_kernel = _drop_arg(dq_kernel, pos=4)
+    dq = pl.pallas_call(
+        functools.partial(dq_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(b, n_tiles),
+        in_specs=dq_in_specs,
+        out_specs=pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(*args)
+    )(*dq_args)
+
+    # dsd: grid (N_tiles, B); output tile fixed per i, accumulated over j.
+    dsd_in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, nn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    dsd_args = [temp, dp3, am3, q]
+    dsd_kernel = _bwd_dsd_kernel
+    if keep3 is not None:
+        dsd_in_specs.append(
+            pl.BlockSpec((1, 1, t), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+        )
+        dsd_args.append(keep3)
+    else:
+        dsd_kernel = _drop_arg(dsd_kernel, pos=4)
+    dsd = pl.pallas_call(
+        functools.partial(dsd_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(sd.shape, jnp.float32),
+        grid=(n_tiles, b),
+        in_specs=dsd_in_specs,
+        out_specs=pl.BlockSpec((nn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(*dsd_args)
     return dq, dsd.astype(sd.dtype)
 
 
-def _no_keep_bwd(kernel):
-    def wrapped(temp_ref, dp_ref, amax_ref, q_ref, sd_ref, dq_ref, dsd_ref, **kw):
-        return kernel(temp_ref, dp_ref, amax_ref, q_ref, sd_ref, None, dq_ref, dsd_ref, **kw)
+def _drop_arg(kernel, pos):
+    """Adapt a kernel that takes an optional keep_ref at input position
+    ``pos`` (after temp/dp/amax/other) to the no-mask call signature."""
+
+    def wrapped(*refs, **kw):
+        refs = list(refs)
+        refs.insert(pos, None)
+        return kernel(*refs, **kw)
 
     return wrapped
 
