@@ -101,6 +101,32 @@ def clip_fdt_vitb16(**kw):
     return _clip_fdt(vit_b16, text_base, kw)
 
 
+def clip_swinB_v2(**kw):
+    from .swin import swin_b_v2
+
+    return _clip(swin_b_v2, text_base, kw)
+
+
+def clip_swinL(**kw):
+    from .swin import swin_l
+
+    return _clip(swin_l, text_large, kw)
+
+
+def clip_swinL_v2(**kw):
+    from .swin import swin_l_v2
+
+    return _clip(swin_l_v2, text_large, kw)
+
+
+def clip_fdt_swinB_v2(**kw):
+    from .swin import swin_b_v2
+
+    kw.setdefault("fdt", {})
+    kw["fdt"].setdefault("raw_img_ft_dim", 1024)  # swin-B final channels
+    return _clip_fdt(swin_b_v2, text_base, kw)
+
+
 _REGISTRY = {
     "clip_vitb32": clip_vitb32,
     "clip_vitb16": clip_vitb16,
@@ -108,8 +134,12 @@ _REGISTRY = {
     "clip_vitL16": clip_vitL16,
     "clip_res50": clip_res50,
     "clip_res101": clip_res101,
+    "clip_swinB_v2": clip_swinB_v2,
+    "clip_swinL": clip_swinL,
+    "clip_swinL_v2": clip_swinL_v2,
     "clip_fdt_vitb32": clip_fdt_vitb32,
     "clip_fdt_vitb16": clip_fdt_vitb16,
+    "clip_fdt_swinB_v2": clip_fdt_swinB_v2,
 }
 
 

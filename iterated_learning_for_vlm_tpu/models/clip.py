@@ -39,11 +39,14 @@ def l2_normalize(x, eps: float = 0.0):
 
 
 def build_vision_tower(cfg, dtype):
-    """Dispatch the image encoder by config type (ViT vs ModifiedResNet)."""
+    """Dispatch the image encoder by config type (ViT / ResNet / Swin)."""
     from .resnet import ModifiedResNet, ResNetConfig
+    from .swin import SwinConfig, SwinTransformer
 
     if isinstance(cfg, ResNetConfig):
         return ModifiedResNet(cfg, dtype=dtype, name="visual")
+    if isinstance(cfg, SwinConfig):
+        return SwinTransformer(cfg, dtype=dtype, name="visual")
     return VisionTransformer(cfg, dtype=dtype, name="visual")
 
 
