@@ -150,6 +150,7 @@ class ResidualAttentionBlock(nn.Module):
     causal: bool = False
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    collect_hidden: bool = False
 
     @nn.compact
     def __call__(self, x, _=None):
@@ -173,7 +174,7 @@ class ResidualAttentionBlock(nn.Module):
             dtype=self.dtype,
             name="mlp",
         )(LayerNorm(dtype=self.dtype, name="ln_2")(x))
-        return x, None
+        return x, (x if self.collect_hidden else None)
 
 
 class Transformer(nn.Module):
@@ -193,7 +194,10 @@ class Transformer(nn.Module):
     use_flash: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_hidden_states: bool = False):
+        """``return_hidden_states`` also returns the per-layer outputs
+        stacked as [L, B, S, D] (reference ``Transformer_module_list`` /
+        the ``*_inter`` encoder variants, SURVEY §2.1)."""
         attn_std = self.width ** -0.5
         proj_std = (self.width ** -0.5) * ((2 * self.layers) ** -0.5)
         fc_std = (2 * self.width) ** -0.5
@@ -209,7 +213,7 @@ class Transformer(nn.Module):
             length=self.layers,
             metadata_params={nn.PARTITION_NAME: None},
         )
-        x, _ = ScannedBlock(
+        x, hidden = ScannedBlock(
             width=self.width,
             heads=self.heads,
             attn_std=attn_std,
@@ -218,6 +222,9 @@ class Transformer(nn.Module):
             causal=self.causal,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            collect_hidden=return_hidden_states,
             name="resblocks",
         )(x, None)
+        if return_hidden_states:
+            return x, hidden
         return x

@@ -107,41 +107,47 @@ def _no_keep(kernel):
 #   dq kernel: grid (B, N_tiles), accumulates dq[b] over codebook tiles
 #              (innermost axis -> the output block stays resident in VMEM);
 #   dsd kernel: grid (N_tiles, B), accumulates dsd[n_tile] over batch rows.
-def _routing_matrix(dp, am, keep_row, coeff, t):
-    """[T, NN] one-hot routing: dp[n] at row argmax[n], scaled."""
-    nn = dp.shape[0]
-    t_ids = jax.lax.broadcasted_iota(jnp.int32, (t, nn), 0)
-    m = jnp.where(t_ids == am[None, :], dp[None, :], 0.0) * coeff
-    if keep_row is not None:
-        m = m * keep_row[:, None]
+def _routing_matrix(dp, am, keep_rows, coeff, t):
+    """[BB, T, NN] one-hot routing: dp[b, n] at row argmax[b, n], scaled."""
+    bb, nn = dp.shape
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (bb, t, nn), 1)
+    m = jnp.where(t_ids == am[:, None, :], dp[:, None, :], 0.0) * coeff
+    if keep_rows is not None:
+        m = m * keep_rows[:, :, None]
     return m
 
 
 def _bwd_dq_kernel(temp_ref, dp_ref, amax_ref, sd_ref, keep_ref, dq_ref, *, scale):
     t = dq_ref.shape[1]
-    dp = dp_ref[0, 0].astype(jnp.float32)  # [NN]
-    am = amax_ref[0, 0]
-    keep_row = None if keep_ref is None else keep_ref[0, 0].astype(jnp.float32)
-    m = _routing_matrix(dp, am, keep_row, scale / temp_ref[0], t)
-    contrib = jnp.dot(m, sd_ref[...].astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
+    dp = dp_ref[:, 0, :].astype(jnp.float32)  # [BB, NN]
+    am = amax_ref[:, 0, :]
+    keep_rows = None if keep_ref is None else keep_ref[:, 0, :].astype(jnp.float32)
+    m = _routing_matrix(dp, am, keep_rows, scale / temp_ref[0], t)  # [BB, T, NN]
+    bb, _, nn = m.shape
+    contrib = jnp.dot(
+        m.reshape(bb * t, nn), sd_ref[...].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(bb, t, -1)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+        dq_ref[...] = jnp.zeros_like(dq_ref)
 
-    dq_ref[0] += contrib.astype(dq_ref.dtype)
+    dq_ref[...] += contrib.astype(dq_ref.dtype)
 
 
 def _bwd_dsd_kernel(temp_ref, dp_ref, amax_ref, q_ref, keep_ref, dsd_ref, *, scale):
     t = q_ref.shape[1]
-    dp = dp_ref[0, 0].astype(jnp.float32)  # [NN]
-    am = amax_ref[0, 0]
-    keep_row = None if keep_ref is None else keep_ref[0, 0].astype(jnp.float32)
-    m = _routing_matrix(dp, am, keep_row, scale / temp_ref[0], t)
-    q = q_ref[0].astype(jnp.float32)  # [T, D]
+    dp = dp_ref[:, 0, :].astype(jnp.float32)  # [BB, NN]
+    am = amax_ref[:, 0, :]
+    keep_rows = None if keep_ref is None else keep_ref[:, 0, :].astype(jnp.float32)
+    m = _routing_matrix(dp, am, keep_rows, scale / temp_ref[0], t)  # [BB, T, NN]
+    q = q_ref[...].astype(jnp.float32)  # [BB, T, D]
+    bb, _, nn = m.shape
+    d = q.shape[-1]
     contrib = jax.lax.dot_general(
-        m, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        m.reshape(bb * t, nn), q.reshape(bb * t, d),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )  # [NN, D]
 
     @pl.when(pl.program_id(1) == 0)
@@ -151,29 +157,33 @@ def _bwd_dsd_kernel(temp_ref, dp_ref, amax_ref, q_ref, keep_ref, dsd_ref, *, sca
     dsd_ref[...] += contrib.astype(dsd_ref.dtype)
 
 
-def _pooled_bwd(q, sd, keep, temperature, amax, dpooled, *, nn=512):
+def _pooled_bwd(q, sd, keep, temperature, amax, dpooled, *, bb=8, nn=512):
     b, t, d = q.shape
     n = sd.shape[0]
     nn = min(nn, n)
+    bb = min(bb, b)
+    if b % bb:
+        bb = 1
     n_tiles = _cdiv(n, nn)
+    b_tiles = _cdiv(b, bb)
     temp = jnp.asarray(temperature, jnp.float32).reshape(1)
     dp3 = dpooled.reshape(b, 1, n)
     am3 = amax.reshape(b, 1, n)
     keep3 = None if keep is None else keep.astype(jnp.float32).reshape(b, 1, t)
     scale = d ** -0.5
 
-    # dq: grid (B, N_tiles); output block fixed per i, accumulated over j.
+    # dq: grid (B_tiles, N_tiles); output block fixed per i, accumulated over j.
     dq_in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, nn), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, nn), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, 1, nn), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, 1, nn), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((nn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
     ]
     dq_args = [temp, dp3, am3, sd]
     dq_kernel = _bwd_dq_kernel
     if keep3 is not None:
         dq_in_specs.append(
-            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((bb, 1, t), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
         )
         dq_args.append(keep3)
     else:
@@ -181,25 +191,25 @@ def _pooled_bwd(q, sd, keep, temperature, amax, dpooled, *, nn=512):
     dq = pl.pallas_call(
         functools.partial(dq_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        grid=(b, n_tiles),
+        grid=(b_tiles, n_tiles),
         in_specs=dq_in_specs,
-        out_specs=pl.BlockSpec((1, t, d), lambda i, j: (i, 0, 0),
+        out_specs=pl.BlockSpec((bb, t, d), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(*dq_args)
 
-    # dsd: grid (N_tiles, B); output tile fixed per i, accumulated over j.
+    # dsd: grid (N_tiles, B_tiles); output tile fixed per i, accumulated over j.
     dsd_in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, nn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, nn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, t, d), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, 1, nn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, 1, nn), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, t, d), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
     ]
     dsd_args = [temp, dp3, am3, q]
     dsd_kernel = _bwd_dsd_kernel
     if keep3 is not None:
         dsd_in_specs.append(
-            pl.BlockSpec((1, 1, t), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((bb, 1, t), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
         )
         dsd_args.append(keep3)
     else:
@@ -207,7 +217,7 @@ def _pooled_bwd(q, sd, keep, temperature, amax, dpooled, *, nn=512):
     dsd = pl.pallas_call(
         functools.partial(dsd_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct(sd.shape, jnp.float32),
-        grid=(n_tiles, b),
+        grid=(n_tiles, b_tiles),
         in_specs=dsd_in_specs,
         out_specs=pl.BlockSpec((nn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         interpret=_interpret(),

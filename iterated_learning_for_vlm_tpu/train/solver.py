@@ -98,6 +98,12 @@ class Solver:
         self._build_lr_scheduler()
         self._build_il()
         self._last_iter = 0
+        if ckpt_path == "auto":
+            # auto-resume from the newest checkpoint (reference legacy solver
+            # ``find_last_checkpoint``, prototype/solver/clip_solver.py:179-189)
+            from .checkpoint import find_last_checkpoint
+
+            ckpt_path = find_last_checkpoint(self.save_path)
         if ckpt_path:
             self.state = restore_checkpoint(ckpt_path, self.state)
             self._last_iter = int(self.state.step)
@@ -242,9 +248,18 @@ class Solver:
                 end = time.time()
                 if step % print_freq == 0 or step % 50 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
+                    # loss-crash detector (reference example/clip
+                    # train_solver.py:415-418): a windowed-average jump of
+                    # >0.5 is flagged as a crash for the operator to inspect.
+                    prev_avg = meters["loss"].avg if meters["loss"].count or meters["loss"]._hist else None
                     meters["loss"].update(m["loss"])
                     meters["acc1"].update(m["acc1"])
                     meters["acc5"].update(m["acc5"])
+                    if step > 100 and prev_avg and m["loss"] > prev_avg + 0.5:
+                        self.logger.error(
+                            "[CRASH] training loss jumped: %.4f -> %.4f at step %d "
+                            "(lr %.3e)", prev_avg, m["loss"], step, m["lr"],
+                        )
                     if step % print_freq == 0:
                         remain = (total_step - step) * meters["batch_time"].avg
                         self.logger.info(
