@@ -50,7 +50,8 @@ def load_eval_encoder(
 ) -> JitEncoder:
     """checkpoint may be a path, a list of paths (averaged soup), or None
     (random init, for smoke tests)."""
-    model, is_fdt = build_model_from_config(config)
+    cfg = load_config(config) if isinstance(config, str) else config
+    model, is_fdt = build_model_from_config(cfg)
     template = init_template_state(model)
     if checkpoint is None:
         params = template.params
@@ -59,5 +60,14 @@ def load_eval_encoder(
     else:
         path = checkpoint[0] if isinstance(checkpoint, (list, tuple)) else checkpoint
         params = restore_checkpoint(path, template).params
+
+    from ..models import is_spectral_norm_type
+
+    if is_spectral_norm_type(str(cfg.model.type)):
+        # _sp variants store the raw parametrisation; eval uses the
+        # spectrally-normalised effective weights (torch wrapper semantics).
+        from ..train.lipreg import spectral_normalize_tree
+
+        params = spectral_normalize_tree(params)
     return JitEncoder(model, params, is_fdt=is_fdt, batch_size=batch_size,
                       transform=transform)

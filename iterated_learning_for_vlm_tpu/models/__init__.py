@@ -127,6 +127,28 @@ def clip_fdt_swinB_v2(**kw):
     return _clip_fdt(swin_b_v2, text_base, kw)
 
 
+# Spectral-norm variants (reference CLIP_sp / Clip_FDT_SP): same module graph;
+# the spectral reparameterisation is applied in the train step
+# (train/step.py spectral_norm=True) / at load time for eval
+# (eval/model_loader.py), mirroring torch's wrapper semantics.
+def clip_vitb32_sp(**kw):
+    return _clip(vit_b32, text_base, kw)
+
+
+def clip_fdt_sp_vitb32(**kw):
+    return _clip_fdt(vit_b32, text_base, kw)
+
+
+def declip_fdt_vitb32(**kw):
+    from .declip_fdt import declip_fdt_vitb32 as factory
+
+    return factory(**kw)
+
+
+def is_spectral_norm_type(model_type: str) -> bool:
+    return "_sp" in model_type or model_type.startswith("sp_")
+
+
 _REGISTRY = {
     "clip_vitb32": clip_vitb32,
     "clip_vitb16": clip_vitb16,
@@ -140,6 +162,9 @@ _REGISTRY = {
     "clip_fdt_vitb32": clip_fdt_vitb32,
     "clip_fdt_vitb16": clip_fdt_vitb16,
     "clip_fdt_swinB_v2": clip_fdt_swinB_v2,
+    "clip_vitb32_sp": clip_vitb32_sp,
+    "clip_fdt_sp_vitb32": clip_fdt_sp_vitb32,
+    "declip_fdt_vitb32": declip_fdt_vitb32,
 }
 
 

@@ -78,6 +78,72 @@ def spectral_penalty(
     return lambda_reg * total, traverse_util.unflatten_dict(new_v)
 
 
+def spectral_reparam(
+    params: Any, u_tree: Any, num_iterations: int = 1
+) -> Tuple[Any, Any]:
+    """Training-time spectral-norm reparameterisation (the ``_sp`` model
+    variants — reference ``CLIP_sp``/``Clip_FDT_SP`` wrap every Linear except
+    ``out_proj`` in ``torch.nn.utils.spectral_norm``).
+
+    Exactly like torch: per kernel W, power-iterate the stored left vector u
+    (stop-gradient), compute ``sigma = u . (W v)`` with u/v constant w.r.t.
+    the gradient, and use ``W / sigma`` in the forward.  Returns the
+    reparameterised params and the updated u vectors (thread them through
+    TrainState like the torch buffer).
+    """
+    flat_p = traverse_util.flatten_dict(params)
+    flat_u = traverse_util.flatten_dict(u_tree)
+    out_p = dict(flat_p)
+    out_u = {}
+    for path, u in flat_u.items():
+        w = flat_p[path]
+        w2 = w.reshape((-1,) + w.shape[-2:]).astype(jnp.float32)  # [L, in, out]
+
+        def one(wl, ul):
+            for _ in range(num_iterations):
+                v = wl @ ul
+                v = v / (jnp.linalg.norm(v) + 1e-12)
+                ul = wl.T @ v
+                ul = ul / (jnp.linalg.norm(ul) + 1e-12)
+            ul = jax.lax.stop_gradient(ul)
+            v = jax.lax.stop_gradient(v)
+            sigma = jnp.dot(v, wl @ ul)
+            return wl / jnp.maximum(sigma, 1e-12), ul
+
+        if w2.shape[0] == 1:
+            wn, un = one(w2[0], u)
+            out_p[path] = wn.reshape(w.shape).astype(w.dtype)
+            out_u[path] = un
+        else:  # scanned layer-stacked kernel: u has [L, out]
+            wn, un = jax.vmap(one)(w2, u)
+            out_p[path] = wn.reshape(w.shape).astype(w.dtype)
+            out_u[path] = un
+    return traverse_util.unflatten_dict(out_p), traverse_util.unflatten_dict(out_u)
+
+
+def init_spectral_u(params: Any, rng: jax.Array, skip_out_proj: bool = True) -> Any:
+    """Per-kernel right-side power vectors u[out] (stacked [L, out] for
+    scanned kernels); out_proj excluded per the reference."""
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    i = 0
+    for path, leaf in flat.items():
+        p = tuple(map(str, path))
+        # Dense kernels only: [in, out] or scanned [L, in, out]; convs (4-D)
+        # are not Linears in the reference wrapper.
+        if not _is_dense_kernel(p, leaf) or leaf.ndim > 3:
+            continue
+        if skip_out_proj and len(p) >= 2 and p[-2] == "out_proj":
+            continue
+        i += 1
+        key = jax.random.fold_in(rng, i)
+        shape = ((leaf.shape[0],) if leaf.ndim > 2 else ()) + (leaf.shape[-1],)
+        u = jax.random.normal(key, shape, jnp.float32)
+        u = u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-12)
+        out[path] = u
+    return traverse_util.unflatten_dict(out)
+
+
 def spectral_normalize_tree(params: Any, num_iterations: int = 5) -> Any:
     """Divide every Dense kernel by its spectral norm (SP model variants)."""
     flat = traverse_util.flatten_dict(params)

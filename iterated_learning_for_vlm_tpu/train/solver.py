@@ -91,6 +91,10 @@ class Solver:
         self.mesh = mesh if mesh is not None else create_mesh()
         self.world_size = int(np.prod(list(self.mesh.shape.values())))
         self.is_fdt = "fdt" in config.model.type
+        from ..models import is_spectral_norm_type
+
+        self.is_sp = is_spectral_norm_type(config.model.type)
+        self.lipreg_lambda = float(config.get("lipreg", 0.0) or 0.0)
 
         self._build_model()
         self._build_optimizer()
@@ -138,7 +142,17 @@ class Solver:
         opt_state = adamw_init(self.params)
         trainable = trainable_mask_tree(self.params, frozenset())
         stored = self.params.get("space_dict") if self.is_fdt else None
-        self.state = TrainState.create(self.params, opt_state, trainable, stored)
+        spectral_u = None
+        if self.is_sp:
+            from .lipreg import init_spectral_u
+
+            spectral_u = init_spectral_u(self.params, jax.random.PRNGKey(self.seed + 7))
+        elif self.lipreg_lambda > 0:
+            from .lipreg import init_power_vectors
+
+            spectral_u = init_power_vectors(self.params, jax.random.PRNGKey(self.seed + 7))
+        self.state = TrainState.create(self.params, opt_state, trainable, stored,
+                                       spectral_u)
         self.state = replicate_tree(self.state, self.mesh)
         betas = kwargs.get("betas", [0.9, 0.98])
         self._adam_kw = dict(b1=float(betas[0]), b2=float(betas[1]),
@@ -177,6 +191,8 @@ class Solver:
             grad_clip_type=gc.get("type", "none"),
             grad_clip_value=float(gc.get("value", 0.0) or 0.0),
             grad_clip_max_value=float(gc.get("max_value", 0.0) or 0.0),
+            spectral_norm=self.is_sp,
+            lipreg_lambda=self.lipreg_lambda,
             **self._adam_kw,
         )
         self.eval_step = make_eval_step(self.model, is_fdt=self.is_fdt)

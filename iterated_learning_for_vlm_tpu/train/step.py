@@ -48,11 +48,28 @@ def make_train_step(
     eps: float = 1e-8,
     reference_scale: float = 1.0,
     donate: bool = True,
+    spectral_norm: bool = False,
+    lipreg_lambda: float = 0.0,
 ):
-    """Build the jitted ``(state, batch, sd_temperature) -> (state, metrics)``."""
+    """Build the jitted ``(state, batch, sd_temperature) -> (state, metrics)``.
+
+    ``spectral_norm``: forward through the spectral-norm reparam (the ``_sp``
+    variants); power vectors live in ``state.spectral_u``.
+    ``lipreg_lambda``: add the power-iteration spectral-norm penalty
+    (reference ``--lipreg``, example/clip/train_solver.py:388-390).
+    """
+    assert not (spectral_norm and lipreg_lambda > 0.0), (
+        "spectral_norm reparam and lipreg penalty share the power-vector "
+        "state; enable one at a time (as in the reference)"
+    )
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], sd_temperature: jnp.ndarray):
         def loss_fn(params):
+            new_u = state.spectral_u
+            if spectral_norm:
+                from .lipreg import spectral_reparam
+
+                params, new_u = spectral_reparam(params, state.spectral_u)
             kwargs = {"sd_temperature": sd_temperature} if is_fdt else {}
             out = model.apply(
                 {"params": params},
@@ -65,9 +82,17 @@ def make_train_step(
                 out["image_embed"], out["text_embed"], out["logit_scale"],
                 reference_scale=reference_scale,
             )
-            return loss, m
+            if lipreg_lambda > 0.0:
+                from .lipreg import spectral_penalty
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+                # warm-started power vectors also live in state.spectral_u
+                penalty, new_u = spectral_penalty(params, state.spectral_u, lipreg_lambda)
+                loss = loss + penalty
+            return loss, (m, new_u)
+
+        (loss, (metrics, new_u)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
 
         grads = clip_grads(grads, grad_clip_type, grad_clip_value)
 
@@ -121,6 +146,7 @@ def make_train_step(
             opt_state=new_opt,
             ema_buffer=ema_buffer,
             ema_clip_count=clip_count,
+            spectral_u=new_u,
         )
         out_metrics = {
             "loss": loss,

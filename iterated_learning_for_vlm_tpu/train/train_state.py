@@ -28,9 +28,12 @@ class TrainState:
     # EMA logit-scale clamp state (reference EMA_logit_scale, solver:61-84).
     ema_buffer: jnp.ndarray
     ema_clip_count: jnp.ndarray
+    # Spectral-norm power vectors for the _sp model variants (None otherwise).
+    spectral_u: Any = None
 
     @classmethod
-    def create(cls, params, opt_state, trainable, stored_codebook=None):
+    def create(cls, params, opt_state, trainable, stored_codebook=None,
+               spectral_u=None):
         if stored_codebook is None:
             stored_codebook = jnp.zeros((1, 1), jnp.float32)
         else:
@@ -46,4 +49,5 @@ class TrainState:
             hold_codebook=jnp.zeros((), jnp.float32),
             ema_buffer=jnp.asarray(3.125, jnp.float32),
             ema_clip_count=jnp.zeros((), jnp.float32),
+            spectral_u=spectral_u,
         )
