@@ -67,6 +67,10 @@ def cmd_eval(args):
     elif task == "zeroshot_retrieval":
         metrics = evaluate_retrieval(encoder, ds.images, ds.captions_per_image,
                                      recall_ks=tuple(args.recall_k))
+    elif task == "image_caption_selection":
+        from .caption_selection import evaluate_caption_selection
+
+        metrics = evaluate_caption_selection(encoder, ds.images, ds.captions_per_image)
     elif task == "linear_probe":
         from .linear_probe import evaluate_linear_probe
 

@@ -38,10 +38,22 @@ class JitEncoder:
         self.is_fdt = is_fdt
         self.tokenizer = tokenizer or get_tokenizer()
         self.batch_size = batch_size
-        self.transform = build_common_augmentation(transform)
         self.normalize = normalize
         self.context_length = model.text_cfg.context_length
         self.image_size = model.vision_cfg.input_resolution
+        base_transform = build_common_augmentation(transform)
+        if transform == "ONECROP":
+            import functools
+
+            # scale the resize/crop pair to the model's input resolution
+            # (reference: Resize(256) -> CenterCrop(224) for 224-px models)
+            self.transform = functools.partial(
+                base_transform,
+                resize=max(1, round(self.image_size * 256 / 224)),
+                size=self.image_size,
+            )
+        else:
+            self.transform = base_transform
 
         def img_fn(params, images):
             if is_fdt:

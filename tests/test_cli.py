@@ -1,0 +1,79 @@
+"""End-to-end eval CLI test (the reference CI's ``test_base`` equivalent:
+full cli.run on the Dummy dataset, CPU)."""
+import json
+
+import yaml
+
+from iterated_learning_for_vlm_tpu.eval import cli as eval_cli
+from iterated_learning_for_vlm_tpu.models import (
+    CLIP, TextConfig, VisionConfig, register_model,
+)
+
+V = VisionConfig(input_resolution=32, patch_size=8, width=32, layers=1, heads=2,
+                 embed_dim=16)
+T = TextConfig(context_length=16, width=32, heads=2, layers=1, embed_dim=16)
+
+register_model("clip_tiny_cli", lambda **kw: CLIP(vision_cfg=V, text_cfg=T))
+
+
+def _config_file(tmp_path):
+    cfg = {"model": {"type": "clip_tiny_cli", "kwargs": {}}}
+    p = tmp_path / "model.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return str(p)
+
+
+def test_cli_zeroshot_dummy(tmp_path, monkeypatch):
+    # Dummy images are 224x224 by default; shrink via builder monkeypatch
+    from iterated_learning_for_vlm_tpu.eval import builder
+
+    monkeypatch.setattr(builder, "build_dummy", lambda n=8: _tiny_dummy())
+    out = tmp_path / "result.json"
+    rec = eval_cli.main([
+        "eval", "--model_config", _config_file(tmp_path), "--dataset", "dummy",
+        "--batch_size", "8", "--output", str(out),
+    ])
+    assert rec["task"] == "zeroshot_classification"
+    assert "acc1" in rec["metrics"]
+    saved = json.loads(out.read_text())
+    assert saved["dataset"] == "dummy"
+    assert saved["language"] == "en"
+
+
+def _tiny_dummy():
+    import numpy as np
+    from PIL import Image
+
+    from iterated_learning_for_vlm_tpu.eval.builder import EvalDataset
+
+    rng = np.random.default_rng(0)
+    images = [Image.fromarray(rng.integers(0, 255, (32, 32, 3)).astype("uint8"))
+              for _ in range(4)]
+    return EvalDataset(
+        name="dummy", task="zeroshot_classification", images=images,
+        labels=np.asarray([0, 1, 0, 1]), classnames=["blank image", "noisy image"],
+        templates=["a photo of {}"],
+    )
+
+
+def test_cli_sugar_crepe(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    data_dir = tmp_path / "sc"
+    data_dir.mkdir()
+    items = {}
+    for i in range(3):
+        Image.fromarray(np.full((32, 32, 3), 40 * i, np.uint8)).save(img_dir / f"{i}.jpg")
+        items[str(i)] = {"filename": f"{i}.jpg", "caption": f"a photo number {i}",
+                         "negative_caption": f"the wrong thing {i}"}
+    (data_dir / "add_obj.json").write_text(json.dumps(items))
+    rec = eval_cli.main([
+        "sugar_crepe", "--model_config", _config_file(tmp_path),
+        "--data_root", str(data_dir), "--image_root", str(img_dir),
+        "--batch_size", "4",
+    ])
+    assert "sugar-crepe-add_obj" in rec["metrics"]
+    assert 0.0 <= rec["metrics"]["sugar-crepe-add_obj"] <= 1.0
