@@ -39,7 +39,7 @@ from iterated_learning_for_vlm_tpu.train.step import make_train_step  # noqa: E4
 from iterated_learning_for_vlm_tpu.train.train_state import TrainState  # noqa: E402
 
 REF_A100_PAIRS_PER_SEC_PER_CHIP = 850.0
-TARGET_MULTIPLier = 2.0
+TARGET_MULTIPLIER = 2.0
 
 
 def model_cfg(remat: bool, fused: bool, flash: bool):
@@ -105,7 +105,7 @@ def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=Fals
     assert np.isfinite(final_loss), final_loss
 
     pairs_per_sec = batch_size * steps / dt / max(n_chips, 1)
-    target = TARGET_MULTIPLier * REF_A100_PAIRS_PER_SEC_PER_CHIP
+    target = TARGET_MULTIPLIER * REF_A100_PAIRS_PER_SEC_PER_CHIP
     print(json.dumps({
         "metric": "clip_fdt_vitb32_train_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 2),
