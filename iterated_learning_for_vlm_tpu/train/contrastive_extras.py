@@ -54,6 +54,62 @@ def nt_xent_gather(z_i: jnp.ndarray, z_j: jnp.ndarray, temperature: float,
     return jax.lax.pmean(loss, axis_name)
 
 
+def filip_loss(
+    patch_ft: jnp.ndarray,
+    word_ft: jnp.ndarray,
+    pad_mask: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+):
+    """FILIP fine-grained late-interaction contrastive loss (the loss behind
+    the reference's legacy ``filip_solver.py``, SURVEY §2.8).
+
+    patch_ft: [B, P, D] image token features; word_ft: [B, W, D] text token
+    features; pad_mask: [B, W] additive (0 real / -inf pad).
+
+    Pairwise similarity = mean over image tokens of (max over real text
+    tokens of token cosine), symmetrised; InfoNCE over the [B, B] matrix.
+    """
+    p = patch_ft / (jnp.linalg.norm(patch_ft, axis=-1, keepdims=True) + 1e-10)
+    w = word_ft / (jnp.linalg.norm(word_ft, axis=-1, keepdims=True) + 1e-10)
+    keep = (pad_mask == 0).astype(p.dtype)  # [B, W]
+
+    # token-level sims for every (image i, text j) pair: [Bi, Bj, P, W]
+    sim = jnp.einsum("ipd,jwd->ijpw", p, w)
+    neg = jnp.finfo(sim.dtype).min
+    sim_masked = jnp.where(keep[None, :, None, :] > 0, sim, neg)
+
+    i2t = jnp.mean(jnp.max(sim_masked, axis=3), axis=2)  # [Bi, Bj]
+    denom = jnp.maximum(jnp.sum(keep, axis=1), 1.0)  # real words per text
+    t2i = jnp.sum(jnp.max(sim, axis=2) * keep[None, :, :], axis=2) / denom[None, :]
+    t2i = t2i.T  # [Bj_text, Bi_image] -> rows = texts
+
+    labels = jnp.arange(sim.shape[0])
+
+    def xent(lg):
+        logp = jax.nn.log_softmax(lg * logit_scale, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+    return 0.5 * (xent(i2t) + xent(t2i))
+
+
+def slip_loss(
+    image_embed: jnp.ndarray,
+    text_embed: jnp.ndarray,
+    logit_scale: jnp.ndarray,
+    view1_embed: jnp.ndarray,
+    view2_embed: jnp.ndarray,
+    ssl_temperature: float = 0.1,
+    ssl_scale: float = 1.0,
+):
+    """SLIP objective (legacy ``slip_solver.py``): CLIP InfoNCE on
+    (image, text) + scaled SimCLR NT-Xent between two augmented views."""
+    from .loss import clip_info_nce
+
+    clip_l, metrics = clip_info_nce(image_embed, text_embed, logit_scale)
+    ssl = nt_xent(view1_embed, view2_embed, temperature=ssl_temperature)
+    return clip_l + ssl_scale * ssl, {"clip_loss": clip_l, "ssl_loss": ssl, **metrics}
+
+
 def nt_xent_convirt(z_i: jnp.ndarray, z_j: jnp.ndarray, temperature: float = 0.1):
     """ConVIRT-style bidirectional InfoNCE on paired modalities
     (reference nt_xent_ConVIRT.py): positives are aligned rows only."""
