@@ -42,8 +42,10 @@ def _cdiv(a, b):
 def _pooled_fwd_kernel(temp_ref, q_ref, sd_ref, keep_ref, pooled_ref, amax_ref, *, scale):
     bb, t, d = q_ref.shape
     nn = sd_ref.shape[0]
-    q = q_ref[...].astype(jnp.float32).reshape(bb * t, d)
-    sd = sd_ref[...].astype(jnp.float32)
+    # operands stay in their input dtype (bf16 under mixed precision -> 2x MXU
+    # rate); accumulation is fp32 via preferred_element_type.
+    q = q_ref[...].reshape(bb * t, d)
+    sd = sd_ref[...]
     inner = jax.lax.dot_general(
         q, sd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ).reshape(bb, t, nn)
@@ -190,13 +192,14 @@ def _pooled_bwd(q, sd, keep, temperature, amax, dpooled, *, bb=8, nn=512):
         dq_kernel = _drop_arg(dq_kernel, pos=4)
     dq = pl.pallas_call(
         functools.partial(dq_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        # accumulate dq across codebook tiles in fp32, cast at the end
+        out_shape=jax.ShapeDtypeStruct(q.shape, jnp.float32),
         grid=(b_tiles, n_tiles),
         in_specs=dq_in_specs,
         out_specs=pl.BlockSpec((bb, t, d), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(*dq_args)
+    )(*dq_args).astype(q.dtype)
 
     # dsd: grid (N_tiles, B_tiles); output tile fixed per i, accumulated over j.
     dsd_in_specs = [
@@ -274,8 +277,9 @@ def fused_codebook_attention(
     """
     assert pool_type == "max", "fused kernel implements the shipped max-pool config"
     keep = None if keep_mask is None else keep_mask.astype(jnp.float32)
-    pooled = pooled_codebook_logits(q.astype(jnp.float32), sd.astype(jnp.float32),
-                                    keep, temperature)
+    # keep q/sd in the compute dtype (bf16 under mixed precision); the kernel
+    # accumulates fp32 and the pooled logits/sparsemax stay fp32.
+    pooled = pooled_codebook_logits(q, sd.astype(q.dtype), keep, temperature)
     att = sparsemax_bisect(pooled)
     att_ft = jnp.einsum("bn,nd->bd", att, sd.astype(jnp.float32),
                         preferred_element_type=jnp.float32)

@@ -325,3 +325,32 @@ class Solver:
             self.logger.info("eval step %d: %s = %.4f", step, k, v)
         self.metrics_writer.log({f"eval/{k}": v for k, v in metrics.items()}, step=step)
         return metrics
+
+    def imagenet_evaluate(self, step: int):
+        """In-training zero-shot classification hook (reference
+        ``imagenet_evaluate``, train_solver.py:683-716 — which downloaded
+        ImageNet over the network; here it reads a local dataset configured at
+        ``data.test.imagenet_root`` as a wds-protocol dir or class folder)."""
+        test_cfg = self.config.data.get("test", {}) or {}
+        root = test_cfg.get("imagenet_root")
+        if not root or not os.path.isdir(str(root)):
+            return None
+        from ..eval.builder import build_folder_dataset, build_wds_dataset
+        from ..eval.encode import JitEncoder
+        from ..eval.zeroshot_classification import evaluate_zeroshot_classification
+
+        root = str(root)
+        if os.path.exists(os.path.join(root, "classnames.txt")):
+            ds = build_wds_dataset(root, "imagenet")
+        else:
+            ds = build_folder_dataset(root, "imagenet")
+        encoder = JitEncoder(self.model, self.state.params, is_fdt=self.is_fdt,
+                             tokenizer=self.tokenizer)
+        metrics = evaluate_zeroshot_classification(
+            encoder, ds.images, ds.labels, ds.classnames, ds.templates
+        )
+        for k, v in metrics.items():
+            self.logger.info("imagenet step %d: %s = %.4f", step, k, v)
+        self.metrics_writer.log({f"eval/ImageNet_{k}": v for k, v in metrics.items()},
+                                step=step)
+        return metrics
