@@ -144,3 +144,12 @@ def rand_augment(img: Image.Image, rng: np.random.Generator, n: int = 2,
         op = names[int(rng.integers(len(names)))]
         img = _OPS[op][0](img, _mag(op, magnitude), rng)
     return img
+
+
+def clsa_strong_augment(img: Image.Image, rng: np.random.Generator,
+                        num_of_times: int = 5) -> Image.Image:
+    """CLSA stronger augmentation (reference ``CLSAAug``: randaugment applied
+    ``num_of_times`` repeatedly with random magnitudes)."""
+    for _ in range(num_of_times):
+        img = rand_augment(img, rng, n=1, magnitude=int(rng.integers(1, 10)))
+    return img

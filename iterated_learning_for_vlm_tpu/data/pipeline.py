@@ -133,7 +133,12 @@ def get_wds_dataset(
     batch_size = int(cfg["batch_size"])
     workers = int(cfg.get("workers", 4))
     num_samples = int(cfg.get("num_samples", 0)) or len(shards) * 1000
-    augment = build_common_augmentation(cfg.get("transforms", "MOCOV2_single"))
+    transforms_name = cfg.get("transforms", "MOCOV2_single")
+    augment = build_common_augmentation(transforms_name)
+    # two augmented views per image (reference TwoCropsTransform for the
+    # MOCOV2/SIMCLR/SIMSIAM recipes; DeCLIP's SimSiam branch needs both)
+    two_views = bool(cfg.get("two_views",
+                             transforms_name in ("MOCOV2", "SIMCLR", "SIMSIAM")))
     tokenizer = tokenizer or get_tokenizer()
     context_length = int(cfg.get("context_length", 77))
 
@@ -167,6 +172,8 @@ def get_wds_dataset(
                     return None
                 if text_map is not None:
                     txt = text_map(txt, rng)
+                if two_views:
+                    return augment(img, aug_rng), augment(img, aug_rng), txt
                 return augment(img, aug_rng), txt
 
             window: collections.deque = collections.deque()
@@ -186,18 +193,27 @@ def get_wds_dataset(
 
         produced = 0
         images: List[np.ndarray] = []
+        images_v2: List[np.ndarray] = []
         texts: List[str] = []
-        for img_arr, txt in decoded():
+        for item in decoded():
+            if two_views:
+                img_arr, img_arr2, txt = item
+                images_v2.append(img_arr2)
+            else:
+                img_arr, txt = item
             images.append(img_arr)
             texts.append(txt)
             if len(images) == batch_size:
                 tokens, pad_mask = tokenizer(texts, context_length=context_length)
-                yield {
+                batch = {
                     "image": np.stack(images).astype(np.float32),
                     "tokens": tokens,
                     "pad_mask": pad_mask,
                 }
-                images, texts = [], []
+                if two_views:
+                    batch["image_v2"] = np.stack(images_v2).astype(np.float32)
+                yield batch
+                images, images_v2, texts = [], [], []
                 produced += 1
                 if produced >= num_batches:
                     return

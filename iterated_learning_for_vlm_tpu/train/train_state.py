@@ -30,10 +30,13 @@ class TrainState:
     ema_clip_count: jnp.ndarray
     # Spectral-norm power vectors for the _sp model variants (None otherwise).
     spectral_u: Any = None
+    # BatchNorm running statistics for BN-bearing models
+    # (ModifiedResNet towers, DeCLIP MLP heads); None for the pure-LN models.
+    batch_stats: Any = None
 
     @classmethod
     def create(cls, params, opt_state, trainable, stored_codebook=None,
-               spectral_u=None):
+               spectral_u=None, batch_stats=None):
         if stored_codebook is None:
             stored_codebook = jnp.zeros((1, 1), jnp.float32)
         else:
@@ -50,4 +53,5 @@ class TrainState:
             ema_buffer=jnp.asarray(3.125, jnp.float32),
             ema_clip_count=jnp.zeros((), jnp.float32),
             spectral_u=spectral_u,
+            batch_stats=batch_stats,
         )
