@@ -66,6 +66,17 @@ class CLIP(nn.Module):
     def encode_text(self, tokens, pad_mask=None):
         return self.text(tokens, pad_mask)["embed"]
 
+    def extract_patch_ft(self, images):
+        """Projected patch tokens (reference ``CLIP.extract_patch_ft``,
+        clip.py:98-105): ln_post + proj applied per patch token."""
+        return self.visual(images)["patches_proj"]
+
+    def extract_word_ft(self, tokens, pad_mask=None):
+        """Projected word tokens + pad mask (reference
+        ``CLIP.extract_word_ft``, clip.py:107-115)."""
+        out = self.text(tokens, pad_mask)
+        return out["words_proj"], pad_mask
+
     def __call__(self, images, tokens, pad_mask=None):
         image_features = self.encode_image(images)
         text_features = self.encode_text(tokens, pad_mask)

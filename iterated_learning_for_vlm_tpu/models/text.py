@@ -80,18 +80,23 @@ class TextTransformer(nn.Module):
         eot_idx = jnp.argmax(tokens, axis=-1)
         pooled_raw = jnp.take_along_axis(words, eot_idx[:, None, None], axis=1)[:, 0, :]
 
-        embed = nn.Dense(
+        projection = nn.Dense(
             cfg.embed_dim,
             kernel_init=scaled_normal(cfg.width ** -0.5),
             bias_init=torch_bias_uniform(cfg.width),
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="text_projection",
-        )(pooled_raw)
+        )
+        embed = projection(pooled_raw)
+        # projected word tokens for FILIP (reference CLIP.extract_word_ft,
+        # clip.py:107-115) — same projection params, per-token
+        words_proj = projection(words)
 
         return {
             "embed": embed,
             "words": words,
+            "words_proj": words_proj,
             "pooled_raw": pooled_raw,
             "pad_mask": pad_mask,
         }

@@ -82,10 +82,16 @@ class VisionTransformer(nn.Module):
         )(x)
 
         patches = x[:, 1:, :]
-        pooled_raw = LayerNorm(dtype=self.dtype, name="ln_post")(x[:, 0, :])
+        # ln_post over all tokens (per-token op): row 0 is the reference's
+        # CLS path; rows 1.. give the projected patch tokens used by FILIP
+        # (reference CLIP.extract_patch_ft, clip.py:98-105).
+        ln_all = LayerNorm(dtype=self.dtype, name="ln_post")(x)
+        pooled_raw = ln_all[:, 0, :]
         proj = self.param("proj", scaled_normal(scale), (cfg.width, cfg.embed_dim))
         embed = pooled_raw @ proj.astype(self.dtype)
-        return {"embed": embed, "patches": patches, "pooled_raw": pooled_raw}
+        patches_proj = ln_all[:, 1:, :] @ proj.astype(self.dtype)
+        return {"embed": embed, "patches": patches, "pooled_raw": pooled_raw,
+                "patches_proj": patches_proj}
 
 
 # Factory configs mirroring the reference factory dims
