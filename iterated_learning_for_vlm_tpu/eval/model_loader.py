@@ -53,13 +53,30 @@ def load_eval_encoder(
     cfg = load_config(config) if isinstance(config, str) else config
     model, is_fdt = build_model_from_config(cfg)
     template = init_template_state(model)
+    def _load_one(path: str):
+        if str(path).endswith((".pth", ".pth.tar", ".pt")):
+            # reference torch checkpoint: convert layouts on the fly
+            from ..tools.torch_checkpoint import load_reference_checkpoint
+
+            return load_reference_checkpoint(str(path))
+        return restore_checkpoint(path, template).params
+
     if checkpoint is None:
         params = template.params
     elif isinstance(checkpoint, (list, tuple)) and len(checkpoint) > 1:
-        params = restore_params_soup(list(checkpoint), template)
+        if any(str(p).endswith((".pth", ".pth.tar", ".pt")) for p in checkpoint):
+            import jax as _jax
+            import numpy as _np
+
+            loaded = [_load_one(p) for p in checkpoint]
+            params = _jax.tree.map(
+                lambda *xs: _np.mean(_np.stack(xs), axis=0), *loaded
+            )
+        else:
+            params = restore_params_soup(list(checkpoint), template)
     else:
         path = checkpoint[0] if isinstance(checkpoint, (list, tuple)) else checkpoint
-        params = restore_checkpoint(path, template).params
+        params = _load_one(path)
 
     from ..models import is_spectral_norm_type
 
