@@ -127,16 +127,28 @@ def orthogonal_loss(ft: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum((sim - jnp.eye(n, dtype=ft.dtype)) ** 2) / (n ** 2)
 
 
-def simsiam_loss(p1, z1, p2, z2):
-    """Reference ``SimsiamLoss`` (loss.py:66-82), symmetric variant."""
+def simsiam_loss(p1, z1, p2, z2, minimize_loss: bool = False):
+    """Reference ``SimsiamLoss`` (loss.py:66-82), symmetric variant.
+
+    ``minimize_loss``: the ``D_minimize`` variant (loss.py:58-63) — inputs
+    are multi-candidate [N, K, D]; per row take the best-matching candidate
+    pair (max cosine) before averaging."""
 
     def d(p, z):
         z = jax.lax.stop_gradient(z)
         p = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
         z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
-        return jnp.mean(jnp.sum(p * z, axis=1))
+        return jnp.mean(jnp.sum(p * z, axis=-1))
 
-    return -0.5 * (d(p1, z2) + d(p2, z1))
+    def d_min(p, z):
+        z = jax.lax.stop_gradient(z)
+        p = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
+        z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        sim = jnp.einsum("nkd,nld->nkl", p, z)
+        return jnp.mean(jnp.max(sim, axis=-1))
+
+    fn = d_min if minimize_loss else d
+    return -0.5 * (fn(p1, z2) + fn(p2, z1))
 
 
 def cosine_distill_loss(student_ft: jnp.ndarray, teacher_ft: jnp.ndarray) -> jnp.ndarray:

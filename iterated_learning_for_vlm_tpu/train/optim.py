@@ -166,6 +166,51 @@ def reset_opt_state_for(
     }
 
 
+# -- LARS (reference prototype/optimizer/lars.py, legacy large-batch opt) ----
+def lars_init(params: Params) -> Dict[str, Params]:
+    return {"momentum": jax.tree.map(jnp.zeros_like, params)}
+
+
+def lars_update(
+    grads: Params,
+    state: Dict[str, Params],
+    params: Params,
+    *,
+    lr: jnp.ndarray,
+    wd_tree: Params,
+    trainable: Params,
+    momentum: float = 0.9,
+    trust_coefficient: float = 0.001,
+    eps: float = 1e-8,
+):
+    """Layer-wise adaptive rate scaling: per-leaf trust ratio
+    ``trust * ||w|| / (||g|| + wd*||w||)`` scales the LR; SGD-momentum update."""
+
+    def leaf(g, m, p, wd, t):
+        g = g.astype(jnp.float32) + wd * p
+        w_norm = jnp.linalg.norm(p)
+        g_norm = jnp.linalg.norm(g)
+        ratio = jnp.where(
+            (w_norm > 0) & (g_norm > 0),
+            trust_coefficient * w_norm / (g_norm + eps),
+            1.0,
+        )
+        new_m = momentum * m + lr * ratio * g
+        new_p = jnp.where(t > 0, p - new_m, p)
+        return new_p, jnp.where(t > 0, new_m, m)
+
+    flat_g = traverse_util.flatten_dict(grads)
+    flat_m = traverse_util.flatten_dict(state["momentum"])
+    flat_p = traverse_util.flatten_dict(params)
+    flat_w = traverse_util.flatten_dict(wd_tree)
+    flat_t = traverse_util.flatten_dict(trainable)
+    new_p, new_m = {}, {}
+    for k in flat_p:
+        new_p[k], new_m[k] = leaf(flat_g[k], flat_m[k], flat_p[k], flat_w[k], flat_t[k])
+    unf = traverse_util.unflatten_dict
+    return unf(new_p), {"momentum": unf(new_m)}
+
+
 # -- gradient clipping (reference prototype/utils/grad_clip.py + solver modes)
 def clip_grads(grads: Params, mode: str, value: float) -> Params:
     """Pre-step gradient clipping. Modes 'norm' | 'value' |

@@ -227,3 +227,29 @@ def test_clamp_logit_scale():
     out = clamp_logit_scale({"logit_scale": jnp.asarray([1.0]), "w": jnp.ones((2,))},
                             "logit_scale_param_value", 3.0, 6.0)
     np.testing.assert_allclose(np.asarray(out["logit_scale"]), [3.0])
+
+
+def test_lars_update():
+    from iterated_learning_for_vlm_tpu.train.optim import lars_init, lars_update
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": jnp.full((4, 4), 0.1), "b": jnp.full((4,), 0.1)}
+    wd = {"w": 0.0, "b": 0.0}
+    mask = {"w": jnp.ones(()), "b": jnp.zeros(())}  # freeze b
+    state = lars_init(params)
+    p1, s1 = lars_update(grads, state, params, lr=0.1, wd_tree=wd, trainable=mask)
+    assert not np.allclose(np.asarray(p1["w"]), np.asarray(params["w"]))
+    np.testing.assert_array_equal(np.asarray(p1["b"]), np.asarray(params["b"]))
+    # trust ratio: update magnitude scaled by ||w||/||g||
+    p2, s2 = lars_update(grads, s1, p1, lr=0.1, wd_tree=wd, trainable=mask)
+    assert np.isfinite(np.asarray(p2["w"])).all()
+
+
+def test_simsiam_minimize_variant():
+    from iterated_learning_for_vlm_tpu.train.loss import simsiam_loss
+
+    rng = np.random.RandomState(0)
+    p = jnp.asarray(rng.randn(4, 3, 8).astype(np.float32))
+    z = jnp.asarray(rng.randn(4, 3, 8).astype(np.float32))
+    loss = simsiam_loss(p, z, p, z, minimize_loss=True)
+    assert -1.0 <= float(loss) <= 1.0
