@@ -55,7 +55,10 @@ def cosine(
                 rewarm_line = _warmup_line(step % reset_steps, base_lr, warmup_lr, warmup_steps)
                 rewarm = cos_lr * (rewarm_line / warmup_lr)
                 lr = jnp.where(in_rewarm, rewarm, lr)
-        return lr
+        # The reference's rewarm line evaluates below zero at the exact reset
+        # boundary when warmup_lr > 2*base_lr and warmup_steps is small (its
+        # shipped config stays positive); never step backwards.
+        return jnp.maximum(lr, 0.0)
 
     return fn
 
