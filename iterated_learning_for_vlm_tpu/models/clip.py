@@ -60,8 +60,17 @@ class CLIP(nn.Module):
         self.text = TextTransformer(self.text_cfg, dtype=self.dtype, name="text")
         self.logit_scale = self.param("logit_scale", constant_init(LOGIT_SCALE_INIT), (1,))
 
-    def encode_image(self, images):
-        return self.visual(images)["embed"]
+    def encode_image(self, images, train: bool = False):
+        out = self._visual(images, train)
+        return out["embed"]
+
+    def _visual(self, images, train: bool = False):
+        """Call the tower; only BN towers (ResNet) take the train flag."""
+        from .resnet import ResNetConfig
+
+        if isinstance(self.vision_cfg, ResNetConfig):
+            return self.visual(images, train=train)
+        return self.visual(images)
 
     def encode_text(self, tokens, pad_mask=None):
         return self.text(tokens, pad_mask)["embed"]
@@ -77,8 +86,8 @@ class CLIP(nn.Module):
         out = self.text(tokens, pad_mask)
         return out["words_proj"], pad_mask
 
-    def __call__(self, images, tokens, pad_mask=None):
-        image_features = self.encode_image(images)
+    def __call__(self, images, tokens, pad_mask=None, train: bool = False):
+        image_features = self.encode_image(images, train=train)
         text_features = self.encode_text(tokens, pad_mask)
 
         image_features = l2_normalize(image_features.astype(jnp.float32))

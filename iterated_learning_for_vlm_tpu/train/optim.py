@@ -20,7 +20,7 @@ whole IL cycle runs through ONE compiled step function.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, FrozenSet, Mapping, Tuple
+from typing import Any, Callable, Dict, FrozenSet, Mapping, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,6 +164,64 @@ def reset_opt_state_for(
         "nu": jax.tree.map(z, reset_mask, state["nu"]),
         "count": jax.tree.map(zc, reset_mask, state["count"]),
     }
+
+
+# -- AdamW_SGD composite (reference prototype/optimizer/AdamW_SGD.py) --------
+def sgd_momentum_update_leaf(g, m, p, wd, t, lr, momentum=0.9):
+    g = g.astype(jnp.float32) + wd * p
+    new_m = momentum * m + g
+    new_p = jnp.where(t > 0, p - lr * new_m, p)
+    return new_p, jnp.where(t > 0, new_m, m)
+
+
+def adamw_sgd_init(params: Params) -> Dict[str, Params]:
+    state = adamw_init(params)
+    state["momentum"] = jax.tree.map(jnp.zeros_like, params)
+    return state
+
+
+def adamw_sgd_update(
+    grads: Params,
+    state: Dict[str, Params],
+    params: Params,
+    *,
+    lr_adamw: jnp.ndarray,
+    lr_sgd: jnp.ndarray,
+    wd_tree: Params,
+    trainable: Params,
+    sgd_group: Callable[[Tuple[str, ...]], bool],
+    b1: float = 0.9,
+    b2: float = 0.98,
+    eps: float = 1e-8,
+    momentum: float = 0.9,
+):
+    """Two-group composite: leaves where ``sgd_group(path)`` is True take
+    SGD-momentum steps, everything else AdamW — the reference's AdamW_SGD
+    pattern (e.g. AdamW text tower + SGD vision tower)."""
+    adam_p, adam_s = adamw_update(
+        grads, {k: state[k] for k in ("mu", "nu", "count")}, params,
+        lr=lr_adamw, wd_tree=wd_tree, trainable=trainable, b1=b1, b2=b2, eps=eps,
+    )
+    flat_g = traverse_util.flatten_dict(grads)
+    flat_m = traverse_util.flatten_dict(state["momentum"])
+    flat_p = traverse_util.flatten_dict(params)
+    flat_w = traverse_util.flatten_dict(wd_tree)
+    flat_t = traverse_util.flatten_dict(trainable)
+    flat_ap = traverse_util.flatten_dict(adam_p)
+
+    new_p, new_m = {}, {}
+    for k in flat_p:
+        if sgd_group(tuple(map(str, k))):
+            new_p[k], new_m[k] = sgd_momentum_update_leaf(
+                flat_g[k], flat_m[k], flat_p[k], flat_w[k], flat_t[k],
+                lr_sgd, momentum,
+            )
+        else:
+            new_p[k], new_m[k] = flat_ap[k], flat_m[k]
+    unf = traverse_util.unflatten_dict
+    out_state = dict(adam_s)
+    out_state["momentum"] = unf(new_m)
+    return unf(new_p), out_state
 
 
 # -- LARS (reference prototype/optimizer/lars.py, legacy large-batch opt) ----

@@ -125,11 +125,17 @@ class Solver:
         dummy_pad = jnp.zeros((bs, ctx), jnp.float32)
         rng = jax.random.PRNGKey(self.seed)
 
+        def init_all(key=rng):
+            return self.model.init(key, dummy_img, dummy_tok, dummy_pad)
+
         def init_fn(key=rng):
-            return self.model.init(key, dummy_img, dummy_tok, dummy_pad)["params"]
+            return init_all(key)["params"]
 
         self._init_fn = init_fn
-        self.params = init_fn()
+        variables = init_all()
+        self.params = variables["params"]
+        # BN towers (ResNet) carry running statistics
+        self.batch_stats = variables.get("batch_stats")
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
         self.logger.info("model %s: %.2fM params", self.config.model.type, n_params / 1e6)
         self.tokenizer = tokenizer
@@ -152,7 +158,7 @@ class Solver:
 
             spectral_u = init_power_vectors(self.params, jax.random.PRNGKey(self.seed + 7))
         self.state = TrainState.create(self.params, opt_state, trainable, stored,
-                                       spectral_u)
+                                       spectral_u, batch_stats=self.batch_stats)
         self.state = replicate_tree(self.state, self.mesh)
         betas = kwargs.get("betas", [0.9, 0.98])
         self._adam_kw = dict(b1=float(betas[0]), b2=float(betas[1]),

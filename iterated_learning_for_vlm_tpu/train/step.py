@@ -64,6 +64,8 @@ def make_train_step(
     )
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], sd_temperature: jnp.ndarray):
+        has_bn = state.batch_stats is not None
+
         def loss_fn(params):
             new_u = state.spectral_u
             if spectral_norm:
@@ -71,13 +73,24 @@ def make_train_step(
 
                 params, new_u = spectral_reparam(params, state.spectral_u)
             kwargs = {"sd_temperature": sd_temperature} if is_fdt else {}
-            out = model.apply(
-                {"params": params},
-                batch["image"],
-                batch["tokens"],
-                batch.get("pad_mask"),
-                **kwargs,
-            )
+            variables = {"params": params}
+            new_stats = None
+            if has_bn:  # BN towers (ResNet): thread running stats
+                variables["batch_stats"] = state.batch_stats
+                out, mutated = model.apply(
+                    variables, batch["image"], batch["tokens"],
+                    batch.get("pad_mask"), train=True,
+                    mutable=["batch_stats"], **kwargs,
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                out = model.apply(
+                    variables,
+                    batch["image"],
+                    batch["tokens"],
+                    batch.get("pad_mask"),
+                    **kwargs,
+                )
             loss, m = clip_info_nce(
                 out["image_embed"], out["text_embed"], out["logit_scale"],
                 reference_scale=reference_scale,
@@ -88,11 +101,11 @@ def make_train_step(
                 # warm-started power vectors also live in state.spectral_u
                 penalty, new_u = spectral_penalty(params, state.spectral_u, lipreg_lambda)
                 loss = loss + penalty
-            return loss, (m, new_u)
+            return loss, (m, new_u, new_stats)
 
-        (loss, (metrics, new_u)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (metrics, new_u, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
 
         grads = clip_grads(grads, grad_clip_type, grad_clip_value)
 
@@ -147,6 +160,7 @@ def make_train_step(
             ema_buffer=ema_buffer,
             ema_clip_count=clip_count,
             spectral_u=new_u,
+            batch_stats=new_stats if has_bn else state.batch_stats,
         )
         out_metrics = {
             "loss": loss,
