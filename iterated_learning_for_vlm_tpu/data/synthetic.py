@@ -22,29 +22,64 @@ _WORDS = (
 
 
 class SyntheticClipData:
-    """Deterministic random batches shaped like the CC3M pipeline output."""
+    """Deterministic random batches shaped like the CC3M pipeline output.
+
+    ``correlated=True`` makes the task *learnable*: each sample draws a class
+    k, the caption names it ("a photo of <colorword> <objectword>") and the
+    image is a class-specific block pattern plus noise — so contrastive
+    training has real signal and loss must fall below ln(batch_size)
+    (pure-noise batches plateau there; see .claude/skills/verify/SKILL.md).
+    """
 
     def __init__(self, batch_size: int, image_size: int = 224, context_length: int = 77,
-                 seed: int = 0, num_batches: int = 100, tokenizer=None):
+                 seed: int = 0, num_batches: int = 100, tokenizer=None,
+                 correlated: bool = False, num_classes: int = 64,
+                 noise_scale: float = 0.3):
         self.batch_size = batch_size
         self.image_size = image_size
         self.context_length = context_length
         self.seed = seed
         self.num_batches = num_batches
         self.tokenizer = tokenizer or get_tokenizer()
+        self.correlated = correlated
+        self.num_classes = num_classes
+        self.noise_scale = noise_scale
+        if correlated:
+            proto_rng = np.random.default_rng((seed, 1))
+            grid = max(4, image_size // 16)
+            self._protos = proto_rng.standard_normal(
+                (num_classes, grid, grid, 3)
+            ).astype(np.float32)
+            self._grid = grid
 
     def caption(self, rng: np.random.Generator) -> str:
         n = int(rng.integers(3, 12))
         return " ".join(rng.choice(_WORDS) for _ in range(n))
 
+    def _class_caption(self, k: int) -> str:
+        return f"a photo of {_WORDS[k % len(_WORDS)]} {_WORDS[(k * 7 + 3) % len(_WORDS)]} number {k}"
+
+    def _class_image(self, k: int, rng: np.random.Generator) -> np.ndarray:
+        up = self.image_size // self._grid
+        base = np.kron(self._protos[k], np.ones((up, up, 1), np.float32))
+        base = base[: self.image_size, : self.image_size]
+        return base + self.noise_scale * rng.standard_normal(base.shape).astype(np.float32)
+
     def batch(self, index: int = 0) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng((self.seed, index))
-        images = rng.standard_normal(
-            (self.batch_size, self.image_size, self.image_size, 3), dtype=np.float32
-        )
-        captions = [self.caption(rng) for _ in range(self.batch_size)]
+        if self.correlated:
+            ks = rng.permutation(self.num_classes)[: self.batch_size]
+            if len(ks) < self.batch_size:  # classes < batch: sample w/ repeats
+                ks = rng.integers(0, self.num_classes, self.batch_size)
+            images = np.stack([self._class_image(int(k), rng) for k in ks])
+            captions = [self._class_caption(int(k)) for k in ks]
+        else:
+            images = rng.standard_normal(
+                (self.batch_size, self.image_size, self.image_size, 3), dtype=np.float32
+            )
+            captions = [self.caption(rng) for _ in range(self.batch_size)]
         tokens, pad_mask = self.tokenizer(captions, context_length=self.context_length)
-        return {"image": images, "tokens": tokens, "pad_mask": pad_mask}
+        return {"image": images.astype(np.float32), "tokens": tokens, "pad_mask": pad_mask}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for i in range(self.num_batches):

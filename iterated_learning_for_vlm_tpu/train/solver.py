@@ -172,6 +172,8 @@ class Solver:
                 image_size=self.model.vision_cfg.input_resolution,
                 context_length=self.model.text_cfg.context_length,
                 num_batches=int(dcfg.get("num_batches", 100)),
+                correlated=bool(dcfg.get("correlated", False)),
+                num_classes=int(dcfg.get("num_classes", 64)),
             )
             self.train_data = None
             self._synthetic = data

@@ -70,3 +70,24 @@ def test_swap_elements_identity_or_swap():
     out = swap_elements("a red dog chases a blue cat", random.Random(0))
     # either swapped (nltk present) or identity (gated) — always same tokens
     assert sorted(out.split()) == sorted("a red dog chases a blue cat".split())
+
+
+def test_correlated_synthetic_data():
+    from iterated_learning_for_vlm_tpu.data.synthetic import SyntheticClipData
+
+    d = SyntheticClipData(batch_size=8, image_size=32, context_length=24,
+                          correlated=True, num_classes=16, seed=3)
+    b0, b1 = d.batch(0), d.batch(1)
+    assert b0["image"].shape == (8, 32, 32, 3)
+    # deterministic per index
+    import numpy as np
+
+    np.testing.assert_array_equal(b0["image"], d.batch(0)["image"])
+    assert not np.array_equal(b0["tokens"], b1["tokens"])
+    # same class k across batches shares the visual prototype (low noise dist)
+    img_a = d._class_image(3, np.random.default_rng(0))
+    img_b = d._class_image(3, np.random.default_rng(1))
+    img_c = d._class_image(7, np.random.default_rng(2))
+    same = float(np.mean((img_a - img_b) ** 2))
+    diff = float(np.mean((img_a - img_c) ** 2))
+    assert same < diff
