@@ -38,9 +38,19 @@ def _softmax_xent(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 def _topk_acc(logits: jnp.ndarray, labels: jnp.ndarray, k: int) -> jnp.ndarray:
     """Fraction of rows whose label ranks in the top-k logits (reference
-    ``accuracy``, prototype/utils/misc.py:464-478), in [0, 100]."""
+    ``accuracy``, prototype/utils/misc.py:464-478), in [0, 100].
+
+    Ties count AGAINST the label (rank past all tied non-label entries):
+    under representation collapse all logits are equal and a tie-friendly
+    rank would report 100% accuracy on garbage — observed with FDT at low
+    sparsemax temperature. Conservative ranking surfaces the collapse.
+    """
     label_logit = jnp.take_along_axis(logits, labels[:, None], axis=-1)
-    rank = jnp.sum(logits > label_logit, axis=-1)
+    n = logits.shape[-1]
+    is_label = jax.nn.one_hot(labels, n, dtype=jnp.bool_)
+    rank = jnp.sum(logits > label_logit, axis=-1) + jnp.sum(
+        (logits == label_logit) & ~is_label, axis=-1
+    )
     return 100.0 * jnp.mean((rank < k).astype(jnp.float32))
 
 
