@@ -119,7 +119,7 @@ if __name__ == "__main__":
 
     p = argparse.ArgumentParser()
     p.add_argument("batch_size", nargs="?", type=int, default=256)
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=30)
     p.add_argument("--remat", action="store_true",
                    help="rematerialise towers (default off: bs256 fits with the "
                         "fused codebook kernel and no-remat is ~8%% faster)")
