@@ -143,15 +143,27 @@ class ILController:
         self.cfg = cfg
         self.base_rng = base_rng
         self.model = model
-        self.init_fn = init_fn  # () -> fresh params, for semantics="full"
+        self.init_fn = init_fn  # (rng) -> fresh params, for semantics="full"
         self.logger = logger
         self.stored_vision: Optional[Any] = None  # for swap_vision_encoder
+
+    def _fresh(self, rng: jax.Array) -> Optional[Any]:
+        """Fresh CLIP-init params for ``semantics="full"`` resets, drawn from a
+        *deterministic* key derived from (base_rng, step) — every reset at the
+        same step under the same solver seed reproduces bit-exactly (the
+        reference leaves "full" reseeding undefined; SURVEY §7 hard part 1)."""
+        if self.cfg.semantics != "full":
+            return None
+        try:
+            return self.init_fn(jax.random.fold_in(rng, 0x66756C6C))  # "full"
+        except TypeError:  # legacy zero-arg init_fn
+            return self.init_fn()
 
     # -- primitive operations ----------------------------------------------
     def reset_text_encoder(self, state: TrainState, step: int) -> TrainState:
         """Reference ``clip_fdt.py:256-261`` with deterministic seeding."""
         rng = jax.random.fold_in(self.base_rng, int(step))
-        fresh = self.init_fn() if self.cfg.semantics == "full" else None
+        fresh = self._fresh(rng)
         new_params, reset_mask = weight_reset_tree(
             state.params, TEXT_ROOTS, rng, self.cfg.semantics, fresh
         )
@@ -163,7 +175,7 @@ class ILController:
     def reset_vision_encoder(self, state: TrainState, step: int) -> TrainState:
         """Reference ``clip_fdt.py:264-266``."""
         rng = jax.random.fold_in(jax.random.fold_in(self.base_rng, int(step)), 1)
-        fresh = self.init_fn() if self.cfg.semantics == "full" else None
+        fresh = self._fresh(rng)
         new_params, reset_mask = weight_reset_tree(
             state.params, VISION_ROOTS, rng, self.cfg.semantics, fresh
         )

@@ -180,7 +180,17 @@ class Solver:
             self.num_batches_per_epoch = data.num_batches
         else:
             self._synthetic = None
-            self.train_data = get_wds_dataset(dcfg, world_size=1, tokenizer=get_tokenizer())
+            # Multi-host: each host process loads a disjoint shard split
+            # (reference ``split_by_node``, clip_dataset_wsd.py:158-240).
+            # ``batch_size`` in the config is per-host; the sizing math uses
+            # the process count so every host agrees on num_batches/epoch.
+            self.train_data = get_wds_dataset(
+                dcfg,
+                world_size=jax.process_count(),
+                rank=jax.process_index(),
+                tokenizer=get_tokenizer(),
+                seed=self.seed,
+            )
             self.num_batches_per_epoch = self.train_data.num_batches
 
     def _build_lr_scheduler(self):
@@ -221,7 +231,8 @@ class Solver:
             self.reset_cfg,
             jax.random.PRNGKey(self.seed + 1),
             model=self.model,
-            init_fn=lambda: self._init_fn(jax.random.PRNGKey(int(time.time()))),
+            # deterministic: the controller folds (base_rng, step) into the key
+            init_fn=self._init_fn,
             logger=self.logger,
         )
 
@@ -256,6 +267,12 @@ class Solver:
 
         done = False
         end = time.time()
+        # Per-step metric scalars are *device arrays* appended here without
+        # syncing (dispatch is async); they are drained to host at log
+        # boundaries.  This keeps the reference's every-step loss-crash check
+        # (example/clip train_solver.py:415-418) without a per-step device
+        # sync in the hot loop.
+        pending: list = []
         for epoch in range(epochs):
             if done:
                 break
@@ -267,23 +284,27 @@ class Solver:
                     self.state, batch, jnp.asarray(temperature, jnp.float32)
                 )
                 self.state = self.il.on_step(self.state, step)
+                pending.append((step, metrics["loss"], metrics["acc1"],
+                                metrics["acc5"], metrics["lr"]))
 
                 meters["batch_time"].update(time.time() - end)
                 end = time.time()
                 if step % print_freq == 0 or step % 50 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
-                    # loss-crash detector (reference example/clip
-                    # train_solver.py:415-418): a windowed-average jump of
-                    # >0.5 is flagged as a crash for the operator to inspect.
-                    prev_avg = meters["loss"].avg if meters["loss"].count or meters["loss"]._hist else None
-                    meters["loss"].update(m["loss"])
-                    meters["acc1"].update(m["acc1"])
-                    meters["acc5"].update(m["acc5"])
-                    if step > 100 and prev_avg and m["loss"] > prev_avg + 0.5:
-                        self.logger.error(
-                            "[CRASH] training loss jumped: %.4f -> %.4f at step %d "
-                            "(lr %.3e)", prev_avg, m["loss"], step, m["lr"],
-                        )
+                    # loss-crash detector: every step in the window is checked
+                    # against the running average before it enters the meter.
+                    for s, lval, a1, a5, lrv in pending:
+                        lval = float(lval)
+                        prev_avg = meters["loss"].avg if meters["loss"].count or meters["loss"]._hist else None
+                        if s > 100 and prev_avg and lval > prev_avg + 0.5:
+                            self.logger.error(
+                                "[CRASH] training loss jumped: %.4f -> %.4f at step %d "
+                                "(lr %.3e)", prev_avg, lval, s, float(lrv),
+                            )
+                        meters["loss"].update(lval)
+                        meters["acc1"].update(float(a1))
+                        meters["acc5"].update(float(a5))
+                    pending = []
                     if step % print_freq == 0:
                         remain = (total_step - step) * meters["batch_time"].avg
                         self.logger.info(

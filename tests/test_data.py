@@ -123,3 +123,44 @@ def test_wds_pipeline_epoch_determinism(tmp_path):
     c = [bb["tokens"].copy() for bb in info.dataloader]
     np.testing.assert_array_equal(np.concatenate(a), np.concatenate(b))
     assert not np.array_equal(np.concatenate(a), np.concatenate(c))
+
+
+def test_multihost_loaders_disjoint_and_complete(tmp_path):
+    """Two host ranks must read disjoint shard splits whose union covers the
+    dataset (reference split_by_node semantics, clip_dataset_wsd.py:158-240).
+    The solver threads jax.process_index()/process_count() into these args."""
+    paths = _make_shards(tmp_path, 4, 8)
+    cfg = Config({
+        "data_path": paths, "transforms": "ONECROP", "num_samples": 32,
+        "workers": 1, "batch_size": 8, "context_length": 16,
+    })
+    ranks = [get_wds_dataset(cfg, world_size=2, rank=r) for r in range(2)]
+    # sizing: global batch 16 => 2 batches/epoch, each host emits 2 local batches
+    assert all(info.num_batches == 2 for info in ranks)
+
+    def sample_ids(info):
+        from iterated_learning_for_vlm_tpu.data.tokenizer import get_tokenizer
+        tok = get_tokenizer()
+        ids = set()
+        for b in info.dataloader:
+            for row in b["tokens"]:
+                text = tok.decode([t for t in row.tolist() if t])
+                # caption is "caption number k" (BPE may split digits)
+                ids.add(int("".join(c for c in text if c.isdigit())))
+        return ids
+
+    seen = [sample_ids(info) for info in ranks]
+    # expected ownership: shards are detshuffled per (seed, epoch) THEN split
+    # round-robin over hosts; each shard s holds samples [8s, 8s+8)
+    shuffled = detshuffle(paths, 0, 0)
+    own = []
+    for r in range(2):
+        ids = set()
+        for shard in split_shards(shuffled, r, 2):
+            s = paths.index(shard)
+            ids |= set(range(8 * s, 8 * s + 8))
+        own.append(ids)
+    assert seen[0] and seen[0] <= own[0], seen[0] - own[0]
+    assert seen[1] and seen[1] <= own[1], seen[1] - own[1]
+    assert not (seen[0] & seen[1]), "hosts read overlapping samples"
+    assert not (own[0] & own[1]) and (own[0] | own[1]) == set(range(32))
