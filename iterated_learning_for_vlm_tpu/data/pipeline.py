@@ -151,6 +151,11 @@ def get_wds_dataset(
                              transforms_name in ("MOCOV2", "SIMCLR", "SIMSIAM")))
     tokenizer = tokenizer or get_tokenizer()
     context_length = int(cfg.get("context_length", 77))
+    # MLM masking (reference masks inside the text tokenizer,
+    # text_transformer.py:172-174: the masked sequence feeds BOTH the
+    # contrastive text embedding and the MLM labels) — here it runs host-side
+    # over the tokenized batch; batch["tokens"] are the masked ids.
+    mask_type = cfg.get("mask_type")
 
     num_batches, sized_samples = _sizing(num_samples, batch_size, world_size, workers)
 
@@ -220,6 +225,16 @@ def get_wds_dataset(
                     "tokens": tokens,
                     "pad_mask": pad_mask,
                 }
+                if mask_type == "MLM":
+                    from .mask_tokens import mask_tokens
+
+                    masked, labels = mask_tokens(
+                        tokens, tokenizer.mask_token,
+                        (tokenizer.sot_token, tokenizer.eot_token, tokenizer.mask_token),
+                        tokenizer.vocab_size, aug_rng,
+                    )
+                    batch["tokens"] = masked.astype(np.int32)
+                    batch["mlm_labels"] = labels.astype(np.int32)
                 if two_views:
                     batch["image_v2"] = np.stack(images_v2).astype(np.float32)
                 yield batch

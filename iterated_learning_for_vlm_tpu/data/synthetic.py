@@ -34,7 +34,8 @@ class SyntheticClipData:
     def __init__(self, batch_size: int, image_size: int = 224, context_length: int = 77,
                  seed: int = 0, num_batches: int = 100, tokenizer=None,
                  correlated: bool = False, num_classes: int = 64,
-                 noise_scale: float = 0.3):
+                 noise_scale: float = 0.3, two_views: bool = False,
+                 mask_type: str = None):
         self.batch_size = batch_size
         self.image_size = image_size
         self.context_length = context_length
@@ -44,6 +45,8 @@ class SyntheticClipData:
         self.correlated = correlated
         self.num_classes = num_classes
         self.noise_scale = noise_scale
+        self.two_views = two_views  # second augmented view (DeCLIP recipes)
+        self.mask_type = mask_type  # "MLM" -> masked tokens + labels
         if correlated:
             proto_rng = np.random.default_rng((seed, 1))
             grid = max(4, image_size // 16)
@@ -79,7 +82,27 @@ class SyntheticClipData:
             )
             captions = [self.caption(rng) for _ in range(self.batch_size)]
         tokens, pad_mask = self.tokenizer(captions, context_length=self.context_length)
-        return {"image": images.astype(np.float32), "tokens": tokens, "pad_mask": pad_mask}
+        batch = {"image": images.astype(np.float32), "tokens": tokens, "pad_mask": pad_mask}
+        if self.two_views:
+            # second "view" = same content, fresh noise (class image) or an
+            # independent draw (noise image)
+            if self.correlated:
+                batch["image_v2"] = np.stack(
+                    [self._class_image(int(k), rng) for k in ks]).astype(np.float32)
+            else:
+                batch["image_v2"] = rng.standard_normal(
+                    images.shape, dtype=np.float32)
+        if self.mask_type == "MLM":
+            from .mask_tokens import mask_tokens
+
+            tok = self.tokenizer
+            masked, labels = mask_tokens(
+                tokens, tok.mask_token, (tok.sot_token, tok.eot_token, tok.mask_token),
+                tok.vocab_size, rng,
+            )
+            batch["tokens"] = masked.astype(np.int32)
+            batch["mlm_labels"] = labels.astype(np.int32)
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for i in range(self.num_batches):

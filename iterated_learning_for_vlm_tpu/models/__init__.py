@@ -145,6 +145,12 @@ def declip_fdt_vitb32(**kw):
     return factory(**kw)
 
 
+def defilip_fdt_vitb32(**kw):
+    from .declip_fdt import defilip_fdt_vitb32 as factory
+
+    return factory(**kw)
+
+
 def is_spectral_norm_type(model_type: str) -> bool:
     return "_sp" in model_type or model_type.startswith("sp_")
 
@@ -165,6 +171,7 @@ _REGISTRY = {
     "clip_vitb32_sp": clip_vitb32_sp,
     "clip_fdt_sp_vitb32": clip_fdt_sp_vitb32,
     "declip_fdt_vitb32": declip_fdt_vitb32,
+    "defilip_fdt_vitb32": defilip_fdt_vitb32,
 }
 
 

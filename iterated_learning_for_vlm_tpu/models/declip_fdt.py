@@ -80,6 +80,10 @@ class DeCLIPConfig:
     text_mask_type: Optional[str] = None  # "MLM" enables the label predictor
     nn_size: int = 2 ** 16
     nn_topk: int = 1
+    # DeFILIP (reference prototype/solver/defilip_solver.py): per-token dense
+    # projections into a shared space for the FILIP late-interaction term.
+    return_dense: bool = False
+    dense_dim: int = 256
 
 
 class DeCLIPFDT(nn.Module):
@@ -116,11 +120,19 @@ class DeCLIPFDT(nn.Module):
                 self.text_cfg.vocab_size, kernel_init=torch_kaiming_uniform(),
                 dtype=self.dtype, param_dtype=jnp.float32, name="text_label_predictor",
             )
+        if self.declip_cfg.return_dense:
+            d = self.declip_cfg.dense_dim
+            self.img_dense_proj = nn.Dense(
+                d, use_bias=False, kernel_init=torch_kaiming_uniform(),
+                dtype=self.dtype, param_dtype=jnp.float32, name="img_dense_proj")
+            self.txt_dense_proj = nn.Dense(
+                d, use_bias=False, kernel_init=torch_kaiming_uniform(),
+                dtype=self.dtype, param_dtype=jnp.float32, name="txt_dense_proj")
 
     def _image_sd(self, images, temperature):
         patches = self.visual(images)["patches"]
         _, sd_ft = self.img_query(patches, self.space_dict, temperature=temperature)
-        return sd_ft
+        return sd_ft, patches
 
     def _text_sd(self, tokens, pad_mask, temperature):
         out = self.text(tokens, pad_mask)
@@ -128,12 +140,26 @@ class DeCLIPFDT(nn.Module):
                                   temperature=temperature)
         return sd_ft, out["words"]
 
+    # -- eval protocol (same surface as CLIPFDT for the benchmark harness) ---
+    def extract_img_sd_ft(self, images, sd_temperature=None):
+        t = self.fdt_cfg.sd_temperature if sd_temperature is None else sd_temperature
+        patches = self.visual(images)["patches"]
+        att, sd_ft = self.img_query(patches, self.space_dict, temperature=t)
+        return att, sd_ft
+
+    def extract_txt_sd_ft(self, tokens, pad_mask=None, sd_temperature=None):
+        t = self.fdt_cfg.sd_temperature if sd_temperature is None else sd_temperature
+        out = self.text(tokens, pad_mask)
+        att, sd_ft = self.txt_query(out["words"], self.space_dict, mask=pad_mask,
+                                    temperature=t)
+        return att, sd_ft
+
     def __call__(self, images_v1, images_v2, tokens, pad_mask=None,
                  sd_temperature=None, train: bool = False):
         t = self.fdt_cfg.sd_temperature if sd_temperature is None else sd_temperature
 
-        img1 = self._image_sd(images_v1, t)
-        img2 = self._image_sd(images_v2, t)
+        img1, patches1 = self._image_sd(images_v1, t)
+        img2, patches2 = self._image_sd(images_v2, t)
         txt, words = self._text_sd(tokens, pad_mask, t)
 
         # SimSiam image branch: z = proj(feat), p = pred(z)
@@ -154,6 +180,15 @@ class DeCLIPFDT(nn.Module):
             out["simsiam_text"] = (self.predictor_text(zt, train=train), zt)
         if self.declip_cfg.text_mask_type is not None:
             out["mlm_logits"] = self.text_label_predictor(words)
+        if self.declip_cfg.return_dense:
+            # FILIP late-interaction features: per-token projections to the
+            # shared dense space, L2-normalized (defilip_solver.py dense logits)
+            out["patches_proj"] = l2_normalize(
+                self.img_dense_proj(patches1).astype(jnp.float32), 1e-10)
+            out["patches_proj_v2"] = l2_normalize(
+                self.img_dense_proj(patches2).astype(jnp.float32), 1e-10)
+            out["words_proj"] = l2_normalize(
+                self.txt_dense_proj(words).astype(jnp.float32), 1e-10)
         return out
 
 
@@ -172,3 +207,14 @@ def declip_fdt_vitb32(**kw):
         fdt_cfg=FDTConfig(**fdt_kw), declip_cfg=DeCLIPConfig(**declip_kw),
         dtype=dtype,
     )
+
+
+def defilip_fdt_vitb32(**kw):
+    """DeFILIP: the DeCLIP multi-task model with per-token dense projections
+    enabled for the FILIP late-interaction term (reference
+    ``prototype/solver/defilip_solver.py`` composition)."""
+    declip_kw = dict(kw.get("declip", {}))
+    declip_kw.setdefault("return_dense", True)
+    kw = dict(kw)
+    kw["declip"] = declip_kw
+    return declip_fdt_vitb32(**kw)

@@ -30,6 +30,10 @@ class DeCLIPLossWeights:
     simsiam_text: float = 0.0
     mlm: float = 0.0
     nn_text: float = 0.0
+    # DeFILIP: weight of the FILIP late-interaction term over the dense
+    # per-token projections (reference defilip_solver.py:540-542; the model
+    # must be built with declip.return_dense=True)
+    filip: float = 0.0
 
 
 def make_declip_train_step(
@@ -75,6 +79,18 @@ def make_declip_train_step(
                 ss = simsiam_loss(p1, z1, p2, z2)
                 loss = loss + weights.simsiam * ss
                 metrics["simsiam_loss"] = ss
+
+            if weights.filip > 0:
+                from .contrastive_extras import filip_loss
+
+                scale = out["logit_scale"]
+                f1 = filip_loss(out["patches_proj"], out["words_proj"],
+                                batch.get("pad_mask"), scale)
+                f2 = filip_loss(out["patches_proj_v2"], out["words_proj"],
+                                batch.get("pad_mask"), scale)
+                fl = 0.5 * (f1 + f2)  # averaged over views (defilip_solver:476)
+                loss = loss + weights.filip * fl
+                metrics["filip_loss"] = fl
 
             if weights.mlm > 0 and "mlm_labels" in batch and "mlm_logits" in out:
                 logits = out["mlm_logits"].astype(jnp.float32)

@@ -91,6 +91,16 @@ class Solver:
         self.mesh = mesh if mesh is not None else create_mesh()
         self.world_size = int(np.prod(list(self.mesh.shape.values())))
         self.is_fdt = "fdt" in config.model.type
+        # Method-recipe dispatch (reference ships one solver per method,
+        # prototype/solver/{declip,filip,slip,defilip}_solver.py; here recipes
+        # share the Solver and differ only in the jitted step + batch keys).
+        # Explicit `recipe:` config key wins; else inferred from model.type.
+        mtype = config.model.type
+        self.recipe = config.get("recipe") or (
+            "defilip" if "defilip" in mtype
+            else "declip" if "declip" in mtype
+            else "clip"
+        )
         from ..models import is_spectral_norm_type
 
         self.is_sp = is_spectral_norm_type(config.model.type)
@@ -124,8 +134,13 @@ class Solver:
         dummy_tok = jnp.zeros((bs, ctx), jnp.int32)
         dummy_pad = jnp.zeros((bs, ctx), jnp.float32)
         rng = jax.random.PRNGKey(self.seed)
+        two_view_model = self.recipe in ("declip", "defilip")
 
         def init_all(key=rng):
+            if two_view_model:  # DeCLIP-family forward takes both views
+                return self.model.init(
+                    key, dummy_img, dummy_img, dummy_tok, dummy_pad, train=True
+                )
             return self.model.init(key, dummy_img, dummy_tok, dummy_pad)
 
         def init_fn(key=rng):
@@ -166,6 +181,16 @@ class Solver:
 
     def _build_data(self):
         dcfg = self.config.data.train
+        # recipe-driven batch extras: second view for DeCLIP/DeFILIP/SLIP,
+        # masked tokens when the model has an MLM branch
+        two_views = self.recipe in ("declip", "defilip", "slip")
+        mlm = (self.config.model.get("kwargs", {}).get("declip", {}) or {}).get(
+            "text_mask_type"
+        ) if self.recipe in ("declip", "defilip") else None
+        if two_views and "two_views" not in dcfg:
+            dcfg["two_views"] = True
+        if mlm and "mask_type" not in dcfg:
+            dcfg["mask_type"] = mlm
         if dcfg.get("synthetic", False):
             data = SyntheticClipData(
                 batch_size=int(dcfg.batch_size),
@@ -174,6 +199,8 @@ class Solver:
                 num_batches=int(dcfg.get("num_batches", 100)),
                 correlated=bool(dcfg.get("correlated", False)),
                 num_classes=int(dcfg.get("num_classes", 64)),
+                two_views=bool(dcfg.get("two_views", False)),
+                mask_type=dcfg.get("mask_type"),
             )
             self.train_data = None
             self._synthetic = data
@@ -201,18 +228,49 @@ class Solver:
         self.max_iter = int(self.config.lr_scheduler.kwargs.get("max_iter", 0))
 
         gc = self.config.get("grad_clip", {}) or {}
-        self.train_step = make_train_step(
-            self.model,
-            self.lr_schedule,
-            self.wd_tree,
-            is_fdt=self.is_fdt,
+        gc_kw = dict(
             grad_clip_type=gc.get("type", "none"),
             grad_clip_value=float(gc.get("value", 0.0) or 0.0),
-            grad_clip_max_value=float(gc.get("max_value", 0.0) or 0.0),
-            spectral_norm=self.is_sp,
-            lipreg_lambda=self.lipreg_lambda,
-            **self._adam_kw,
         )
+        if self.recipe in ("declip", "defilip"):
+            from .declip_step import DeCLIPLossWeights, make_declip_train_step
+
+            w = self.config.get("loss_weights", {}) or {}
+            w = dict(w.to_dict() if hasattr(w, "to_dict") else w)
+            if self.recipe == "defilip" and "filip" not in w:
+                w["filip"] = 1.0  # the defining DeFILIP term
+            self.train_step = make_declip_train_step(
+                self.model, self.lr_schedule, self.wd_tree,
+                weights=DeCLIPLossWeights(**w), **gc_kw, **self._adam_kw,
+            )
+        elif self.recipe == "filip":
+            from .method_steps import make_filip_train_step
+
+            self.train_step = make_filip_train_step(
+                self.model, self.lr_schedule, self.wd_tree, **gc_kw, **self._adam_kw,
+            )
+        elif self.recipe == "slip":
+            from .method_steps import make_slip_train_step
+
+            ssl = self.config.get("ssl", {}) or {}
+            self.train_step = make_slip_train_step(
+                self.model, self.lr_schedule, self.wd_tree,
+                ssl_scale=float(ssl.get("scale", 1.0)),
+                ssl_temperature=float(ssl.get("temperature", 0.1)),
+                **self._adam_kw,
+            )
+        else:
+            self.train_step = make_train_step(
+                self.model,
+                self.lr_schedule,
+                self.wd_tree,
+                is_fdt=self.is_fdt,
+                **gc_kw,
+                grad_clip_max_value=float(gc.get("max_value", 0.0) or 0.0),
+                spectral_norm=self.is_sp,
+                lipreg_lambda=self.lipreg_lambda,
+                **self._adam_kw,
+            )
         self.eval_step = make_eval_step(self.model, is_fdt=self.is_fdt)
 
     def _build_il(self):
@@ -284,13 +342,16 @@ class Solver:
                     self.state, batch, jnp.asarray(temperature, jnp.float32)
                 )
                 self.state = self.il.on_step(self.state, step)
-                pending.append((step, metrics["loss"], metrics["acc1"],
-                                metrics["acc5"], metrics["lr"]))
+                zero = jnp.zeros(())  # recipes without contrastive acc metrics
+                pending.append((step, metrics["loss"], metrics.get("acc1", zero),
+                                metrics.get("acc5", zero), metrics["lr"]))
 
                 meters["batch_time"].update(time.time() - end)
                 end = time.time()
                 if step % print_freq == 0 or step % 50 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
+                    for k in ("acc1", "acc5", "logit_scale"):
+                        m.setdefault(k, 0.0)
                     # loss-crash detector: every step in the window is checked
                     # against the running average before it enters the meter.
                     for s, lval, a1, a5, lrv in pending:
