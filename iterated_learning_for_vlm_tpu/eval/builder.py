@@ -143,6 +143,54 @@ def build_retrieval_json(path: str, name: str, image_root: str = "") -> EvalData
                        captions_per_image=captions)
 
 
+def build_cifar_dataset(path: str, name: str, split: str = "test") -> EvalDataset:
+    """CIFAR-style local datasets, two on-disk layouts:
+
+    - ``.npz`` file with arrays ``images`` (N,H,W,3 uint8), ``labels`` and
+      optionally ``classnames``;
+    - a directory of CIFAR-10 python pickle batches (``data_batch_*`` /
+      ``test_batch`` with ``b"data"``/``b"labels"`` and ``batches.meta``),
+      the torchvision download layout.
+    """
+    import pickle
+
+    if path.endswith(".npz"):
+        z = np.load(path, allow_pickle=True)
+        images_arr = z["images"]
+        labels = np.asarray(z["labels"], np.int64)
+        classnames = [str(c) for c in z["classnames"]] if "classnames" in z else []
+    else:
+        batches = (
+            sorted(f for f in os.listdir(path) if f.startswith("data_batch"))
+            if split == "train" else ["test_batch"]
+        )
+        data, labels = [], []
+        for b in batches:
+            with open(os.path.join(path, b), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            data.append(d[b"data"])
+            labels.extend(d.get(b"labels", d.get(b"fine_labels", [])))
+        flat = np.concatenate(data)  # [N, 3072] CHW-flattened
+        side = int(np.sqrt(flat.shape[1] // 3))
+        images_arr = flat.reshape(-1, 3, side, side).transpose(0, 2, 3, 1)
+        labels = np.asarray(labels, np.int64)
+        classnames = []
+        meta = os.path.join(path, "batches.meta")
+        if os.path.exists(meta):
+            with open(meta, "rb") as f:
+                m = pickle.load(f, encoding="bytes")
+            classnames = [c.decode() for c in m.get(b"label_names", [])]
+    images = [Image.fromarray(np.asarray(x, np.uint8)) for x in images_arr]
+    return EvalDataset(
+        name=name, task="zeroshot_classification", images=images, labels=labels,
+        classnames=classnames, templates=list(DEFAULT_TEMPLATES),
+    )
+
+
+def build_npz_dataset(path: str, name: str, split: str = "test") -> EvalDataset:
+    return build_cifar_dataset(path, name, split)
+
+
 def build_dataset(name: str, root: str = "", split: str = "test") -> EvalDataset:
     """Dispatch mirroring the reference ``build_dataset`` protocol names."""
     if name == "dummy":
@@ -155,7 +203,41 @@ def build_dataset(name: str, root: str = "", split: str = "test") -> EvalDataset
         return build_folder_dataset(name[len("folder:"):], os.path.basename(name))
     if name.startswith("retrieval_json:"):
         return build_retrieval_json(name[len("retrieval_json:"):], name, image_root=root)
+    if name.startswith("cifar:") or name.startswith("npz:"):
+        path = name.split(":", 1)[1]
+        return build_cifar_dataset(path, os.path.basename(path).split(".")[0], split)
     raise KeyError(f"unknown dataset spec {name!r}")
+
+
+def apply_language(ds: EvalDataset, language: str, lang_root: Optional[str] = None,
+                   dataset_key: Optional[str] = None) -> EvalDataset:
+    """Swap classnames/templates for another language (reference
+    ``cli.py:116-195`` + per-language ``{lang}_classnames.json`` /
+    ``{lang}_zeroshot_classification_templates.json`` in ``datasets/``).
+
+    JSON shape: ``{dataset_name: [entries...]}``.  Missing language or
+    dataset entries leave the English defaults untouched (same fallback as
+    the reference).
+    """
+    if not language or language == "en":
+        return ds
+    lang_root = lang_root or os.path.join(os.path.dirname(__file__), "languages")
+    key = dataset_key or ds.name
+
+    def _load(kind):
+        p = os.path.join(lang_root, f"{language}_{kind}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p, encoding="utf-8") as f:
+            return json.load(f).get(key)
+
+    classnames = _load("classnames")
+    templates = _load("zeroshot_classification_templates")
+    if classnames:
+        ds.classnames = list(classnames)
+    if templates:
+        ds.templates = list(templates)
+    return ds
 
 
 def default_task(dataset: EvalDataset) -> str:

@@ -34,17 +34,23 @@ def _load_encoder(args):
     return load_eval_encoder(args.model_config, ckpt, batch_size=args.batch_size)
 
 
-def _dump(args, dataset, task, metrics):
+def _dump(args, dataset, task, metrics, language="en"):
     rec = {
         "dataset": dataset,
         "model": args.model_config,
         "pretrained": args.pretrained,
         "task": task,
         "metrics": metrics,
-        "language": "en",
+        "language": language,
     }
     out = args.output
     if out:
+        # reference cli.py --output is a template, e.g.
+        # '{dataset}_{task}_{language}.json'
+        out = out.format(dataset=str(dataset).replace("/", "_"), task=task,
+                         language=language,
+                         model=os.path.basename(str(args.model_config)),
+                         pretrained=os.path.basename(str(args.pretrained)))
         os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
         with open(out, "w") as f:
             json.dump(rec, f, indent=2)
@@ -53,35 +59,80 @@ def _dump(args, dataset, task, metrics):
 
 
 def cmd_eval(args):
-    from .builder import build_dataset
+    from .builder import apply_language, build_dataset
     from .zeroshot_classification import evaluate_zeroshot_classification
     from .zeroshot_retrieval import evaluate_retrieval
 
     encoder = _load_encoder(args)
-    ds = build_dataset(args.dataset, root=args.dataset_root, split=args.split)
-    task = args.task if args.task != "auto" else ds.task
-    if task == "zeroshot_classification":
-        metrics = evaluate_zeroshot_classification(
-            encoder, ds.images, ds.labels, ds.classnames, ds.templates
-        )
-    elif task == "zeroshot_retrieval":
-        metrics = evaluate_retrieval(encoder, ds.images, ds.captions_per_image,
-                                     recall_ks=tuple(args.recall_k))
-    elif task == "image_caption_selection":
-        from .caption_selection import evaluate_caption_selection
+    languages = args.language if isinstance(args.language, list) else [args.language]
+    recs = []
+    for language in languages:  # reference main_eval language product (cli.py:116-195)
+        ds = build_dataset(args.dataset, root=args.dataset_root, split=args.split)
+        ds = apply_language(ds, language, lang_root=args.language_root or None)
+        task = args.task if args.task != "auto" else ds.task
+        if task == "zeroshot_classification":
+            metrics = evaluate_zeroshot_classification(
+                encoder, ds.images, ds.labels, ds.classnames, ds.templates
+            )
+        elif task == "zeroshot_retrieval":
+            metrics = evaluate_retrieval(encoder, ds.images, ds.captions_per_image,
+                                         recall_ks=tuple(args.recall_k))
+        elif task == "image_caption_selection":
+            from .caption_selection import evaluate_caption_selection
 
-        metrics = evaluate_caption_selection(encoder, ds.images, ds.captions_per_image)
-    elif task == "linear_probe":
-        from .linear_probe import evaluate_linear_probe
+            metrics = evaluate_caption_selection(encoder, ds.images,
+                                                 ds.captions_per_image)
+        elif task == "captioning":
+            from .captioning import evaluate_captioning
 
-        train_ds = build_dataset(args.dataset, root=args.dataset_root, split="train")
-        metrics = evaluate_linear_probe(
-            encoder, train_ds.images, train_ds.labels, ds.images, ds.labels,
-            fewshot_k=args.fewshot_k,
-        )
-    else:
-        raise SystemExit(f"unknown task {task}")
-    return _dump(args, args.dataset, task, metrics)
+            metrics = evaluate_captioning(encoder, ds.images, ds.captions_per_image)
+        elif task == "linear_probe":
+            from .linear_probe import evaluate_linear_probe
+
+            train_ds = build_dataset(args.dataset, root=args.dataset_root,
+                                     split="train")
+            metrics = evaluate_linear_probe(
+                encoder, train_ds.images, train_ds.labels, ds.images, ds.labels,
+                fewshot_k=args.fewshot_k,
+            )
+        else:
+            raise SystemExit(f"unknown task {task}")
+        recs.append(_dump(args, args.dataset, task, metrics, language=language))
+    return recs[0] if len(recs) == 1 else recs
+
+
+def cmd_build(args):
+    """Aggregate eval result JSONs into one benchmark CSV (reference
+    ``cli.py:89-113`` ``main_build``): metrics flattened into columns plus
+    the record fields and ``model_fullname``."""
+    import csv
+
+    rows, fieldnames = [], []
+
+    def process(path):
+        with open(path) as f:
+            data = json.load(f)
+        row = dict(data.pop("metrics", {}))
+        row.update(data)
+        row["model_fullname"] = f"{row.get('model', '')} {row.get('pretrained', '')}"
+        for k in row:
+            if k not in fieldnames:
+                fieldnames.append(k)
+        rows.append(row)
+
+    for path in args.files:
+        if os.path.isdir(path):
+            for f in sorted(os.listdir(path)):
+                if f.endswith(".json"):
+                    process(os.path.join(path, f))
+        else:
+            process(path)
+    with open(args.output, "w", newline="") as csvfile:
+        writer = csv.DictWriter(csvfile, fieldnames=fieldnames)
+        writer.writeheader()
+        writer.writerows(rows)
+    print(f"wrote {len(rows)} rows to {args.output}")
+    return rows
 
 
 def cmd_sugar_crepe(args):
@@ -155,7 +206,19 @@ def build_parser():
     e.add_argument("--task", default="auto")
     e.add_argument("--recall_k", type=int, nargs="+", default=[1, 5, 10])
     e.add_argument("--fewshot_k", type=int, default=-1)
+    e.add_argument("--language", nargs="+", default=["en"],
+                   help="language(s) of classnames/templates (reference "
+                        "cli.py --language); non-en entries load "
+                        "{lang}_classnames.json / templates")
+    e.add_argument("--language_root", default="",
+                   help="dir with per-language JSONs (default: packaged "
+                        "eval/languages)")
     e.set_defaults(fn=cmd_eval)
+
+    b = sub.add_parser("build", help="aggregate result JSONs into a CSV")
+    b.add_argument("files", nargs="+", help="JSON result files or directories")
+    b.add_argument("--output", default="benchmark.csv")
+    b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("sugar_crepe")
     common(s)
