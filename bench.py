@@ -42,7 +42,7 @@ REF_A100_PAIRS_PER_SEC_PER_CHIP = 850.0
 TARGET_MULTIPLIER = 2.0
 
 
-def model_cfg(remat: bool, fused: bool, flash: bool):
+def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False):
     return {
         "type": "clip_fdt_vitb32",
         "kwargs": {
@@ -58,13 +58,15 @@ def model_cfg(remat: bool, fused: bool, flash: bool):
             "dtype": "bfloat16",
             "remat": remat,
             "use_flash": flash,
+            "unroll": unroll,
         },
     }
 
 
-def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False):
+def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
+         unroll=True):
     n_chips = jax.device_count()
-    model = model_entry(model_cfg(remat, fused, flash))
+    model = model_entry(model_cfg(remat, fused, flash, unroll))
 
     rng = np.random.default_rng(0)
     batch = {
@@ -127,10 +129,15 @@ if __name__ == "__main__":
     p.add_argument("--flash", action="store_true",
                    help="pallas fused attention (slower than XLA attention at "
                         "50/77-token sequences; kept for ablation)")
+    p.add_argument("--no-unroll", action="store_true",
+                   help="keep the scanned (while-loop) 12-layer towers; the "
+                        "unrolled default is ~16%% faster (1914 vs 1656 "
+                        "pairs/s at bs256) because XLA can schedule across "
+                        "layer boundaries")
     a = p.parse_args()
     try:
         main(batch_size=a.batch_size, steps=a.steps, remat=a.remat,
-             fused=not a.no_fused, flash=a.flash)
+             fused=not a.no_fused, flash=a.flash, unroll=not a.no_unroll)
     except Exception as e:  # fall back so the driver always gets a line
         msg = str(e)
         if "memory" in msg.lower() or "RESOURCE" in msg:

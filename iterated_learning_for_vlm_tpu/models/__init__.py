@@ -36,10 +36,11 @@ def _common(kwargs: Mapping[str, Any]):
     dtype = _DTYPES[str(kwargs.get("dtype", "float32"))]
     remat = bool(kwargs.get("remat", False))
     use_flash = bool(kwargs.get("use_flash", False))
-    img_kw.setdefault("remat", remat)
-    img_kw.setdefault("use_flash", use_flash)
-    txt_kw.setdefault("remat", remat)
-    txt_kw.setdefault("use_flash", use_flash)
+    unroll = bool(kwargs.get("unroll", False))
+    for kw in (img_kw, txt_kw):
+        kw.setdefault("remat", remat)
+        kw.setdefault("use_flash", use_flash)
+        kw.setdefault("unroll", unroll)
     return img_kw, txt_kw, dtype
 
 

@@ -192,6 +192,10 @@ class Transformer(nn.Module):
     remat: bool = False
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    # Unroll the layer loop at trace time (params stay stacked [L, ...], so
+    # checkpoints are unchanged).  Costs compile time; lets the XLA scheduler
+    # specialize/pipeline across layers instead of a while-loop body.
+    unroll: bool = False
 
     @nn.compact
     def __call__(self, x, return_hidden_states: bool = False):
@@ -211,6 +215,7 @@ class Transformer(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.layers,
+            unroll=self.layers if self.unroll else 1,
             metadata_params={nn.PARTITION_NAME: None},
         )
         x, hidden = ScannedBlock(

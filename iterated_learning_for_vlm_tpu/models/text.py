@@ -34,6 +34,7 @@ class TextConfig:
     positional_embedding: bool = True
     remat: bool = False
     use_flash: bool = False
+    unroll: bool = False
 
 
 class TextTransformer(nn.Module):
@@ -70,6 +71,7 @@ class TextTransformer(nn.Module):
             heads=cfg.heads,
             causal=True,
             remat=cfg.remat,
+            unroll=cfg.unroll,
             dtype=self.dtype,
             use_flash=cfg.use_flash,
             name="transformer",

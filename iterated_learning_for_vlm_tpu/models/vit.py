@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -29,6 +30,7 @@ class VisionConfig:
     embed_dim: int = 512
     remat: bool = False
     use_flash: bool = False
+    unroll: bool = False
 
 
 class VisionTransformer(nn.Module):
@@ -45,7 +47,17 @@ class VisionTransformer(nn.Module):
         cfg = self.cfg
         scale = cfg.width ** -0.5
 
-        x = nn.Conv(
+        # conv1 is PERMANENTLY frozen (reference visual_transformer.py:12,45-52
+        # freeze_conv1=True in every factory) — stop_gradient makes XLA skip
+        # the weight-grad matmul entirely instead of computing a gradient the
+        # optimizer mask then discards.  nn.map_variables keeps the
+        # ``conv1/kernel`` param naming for checkpoint parity.
+        FrozenConv = nn.map_variables(
+            nn.Conv, "params",
+            trans_in_fn=lambda p: jax.tree.map(jax.lax.stop_gradient, p),
+            init=True,
+        )
+        x = FrozenConv(
             features=cfg.width,
             kernel_size=(cfg.patch_size, cfg.patch_size),
             strides=(cfg.patch_size, cfg.patch_size),
@@ -76,6 +88,7 @@ class VisionTransformer(nn.Module):
             heads=cfg.heads,
             causal=False,
             remat=cfg.remat,
+            unroll=cfg.unroll,
             dtype=self.dtype,
             use_flash=cfg.use_flash,
             name="transformer",

@@ -149,3 +149,42 @@ def test_init_distributions(clip_model):
     conv_w = np.asarray(p["conv1"]["kernel"])
     fan_in = conv_w.shape[0] * conv_w.shape[1] * conv_w.shape[2]
     np.testing.assert_allclose(conv_w.std(), (1 / np.sqrt(fan_in)) / np.sqrt(3), rtol=0.1)
+
+
+def test_unroll_matches_scan():
+    """unroll=True only changes scheduling: params structure and outputs are
+    bit-identical to the scanned towers (checkpoints interchange freely)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iterated_learning_for_vlm_tpu.models.vit import VisionConfig, VisionTransformer
+
+    kw = dict(input_resolution=16, patch_size=8, width=32, layers=3, heads=2,
+              embed_dim=16)
+    m_scan = VisionTransformer(VisionConfig(**kw, unroll=False))
+    m_unroll = VisionTransformer(VisionConfig(**kw, unroll=True))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 16, 3)),
+                    jnp.float32)
+    p = m_scan.init(jax.random.PRNGKey(0), x)["params"]
+    a = m_scan.apply({"params": p}, x)["embed"]
+    b = m_unroll.apply({"params": p}, x)["embed"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_conv1_stop_gradient():
+    """conv1 is permanently frozen: its gradient must be exactly zero while
+    everything else trains (reference freeze_conv1=True)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iterated_learning_for_vlm_tpu.models.vit import VisionConfig, VisionTransformer
+
+    m = VisionTransformer(VisionConfig(input_resolution=16, patch_size=8, width=32,
+                                       layers=1, heads=2, embed_dim=16))
+    x = jnp.ones((2, 16, 16, 3))
+    p = m.init(jax.random.PRNGKey(0), x)["params"]
+    g = jax.grad(lambda pp: m.apply({"params": pp}, x)["embed"].sum())(p)
+    assert float(np.abs(np.asarray(g["conv1"]["kernel"])).max()) == 0.0
+    assert float(np.abs(np.asarray(g["proj"])).max()) > 0.0

@@ -42,7 +42,7 @@ def timed(fn, *args, steps=20, warmup=2, fence=None):
     return dt * 1000  # ms
 
 
-def main(batch_size=256):
+def main(batch_size=256, only=None):
     model = model_entry(model_cfg(remat=False, fused=True, flash=False))
     rng = np.random.default_rng(0)
     batch = {
@@ -90,27 +90,30 @@ def main(batch_size=256):
                               grad_clip_value=3.0, grad_clip_max_value=6.0,
                               donate=False)
 
-    r = {}
-    r["vision_fwd"] = timed(vis_fwd, params, batch["image"])
-    r["text_fwd"] = timed(txt_fwd, params, batch["tokens"], batch["pad_mask"])
-    r["img_fdt_head"] = timed(img_sd, params, batch["image"]) - r["vision_fwd"]
-    r["txt_fdt_head"] = timed(txt_sd, params, batch["tokens"], batch["pad_mask"]) - r["text_fwd"]
-    r["full_fwd"] = timed(full_fwd, params, batch,
-                          fence=lambda o: float(o["image_embed"].ravel()[0]))
-    g = grads_fn(params, batch)
-    r["grads(f+b)"] = timed(grads_fn, params, batch,
-                            fence=lambda o: float(o["logit_scale"][0]))
-    r["value_and_grad"] = timed(vag, params, batch,
-                                fence=lambda o: float(o[0]))
-    r["adamw_update"] = timed(upd, g, opt_state, params,
-                              fence=lambda o: float(o[0]["logit_scale"][0]))
-    r["full_step"] = timed(step_fn, state, batch, temp,
-                           fence=lambda o: float(o[1]["loss"]))
-
-    for k, v in r.items():
-        print(f"{k:>16}: {v:8.2f} ms")
-    print(f"pairs/s at full_step: {batch_size / (r['full_step'] / 1000):.1f}")
+    components = {
+        "vision_fwd": lambda: timed(vis_fwd, params, batch["image"]),
+        "text_fwd": lambda: timed(txt_fwd, params, batch["tokens"], batch["pad_mask"]),
+        "img_sd_fwd": lambda: timed(img_sd, params, batch["image"]),
+        "txt_sd_fwd": lambda: timed(txt_sd, params, batch["tokens"], batch["pad_mask"]),
+        "full_fwd": lambda: timed(full_fwd, params, batch,
+                                  fence=lambda o: float(o["image_embed"].ravel()[0])),
+        "grads": lambda: timed(grads_fn, params, batch,
+                               fence=lambda o: float(o["logit_scale"][0])),
+        "value_and_grad": lambda: timed(vag, params, batch,
+                                        fence=lambda o: float(o[0])),
+        "adamw_update": lambda: timed(upd, grads_fn(params, batch), opt_state, params,
+                                      fence=lambda o: float(o[0]["logit_scale"][0])),
+        "full_step": lambda: timed(step_fn, state, batch, temp,
+                                   fence=lambda o: float(o[1]["loss"])),
+    }
+    for name, fn in components.items():
+        if only and name not in only:
+            continue
+        ms = fn()
+        print(f"{name:>16}: {ms:8.2f} ms   ({batch_size / (ms / 1000):.0f} pairs/s)",
+              flush=True)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    main(bs, only=sys.argv[2:] or None)
