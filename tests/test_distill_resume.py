@@ -14,6 +14,11 @@ from iterated_learning_for_vlm_tpu.train.solver import Solver
 from iterated_learning_for_vlm_tpu.train.train_state import TrainState
 from iterated_learning_for_vlm_tpu.utils.config import Config
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-minute e2e compiles; 'make test-all' runs these
+
+
 V = VisionConfig(input_resolution=16, patch_size=8, width=32, layers=1, heads=2,
                  embed_dim=16)
 T = TextConfig(context_length=16, width=32, heads=2, layers=1, embed_dim=16)

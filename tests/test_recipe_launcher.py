@@ -7,6 +7,7 @@ Solver dispatches on the `recipe:` key / model.type and threads the extra
 batch keys (second view, MLM masks) through the data layer.
 """
 import numpy as np
+import pytest
 
 from iterated_learning_for_vlm_tpu.models import (
     CLIP, FDTConfig, TextConfig, VisionConfig, register_model,
@@ -73,6 +74,7 @@ def _run(cfg, tmp_path):
     return solver, state
 
 
+@pytest.mark.slow
 def test_declip_recipe_from_launcher(tmp_path):
     cfg = _config("declip_fdt_tiny_test",
                   loss_weights={"clip": 1.0, "simsiam": 1.0, "mlm": 0.5},
@@ -86,6 +88,7 @@ def test_declip_recipe_from_launcher(tmp_path):
     assert state.batch_stats is not None
 
 
+@pytest.mark.slow
 def test_defilip_recipe_from_launcher(tmp_path):
     cfg = _config("defilip_fdt_tiny_test",
                   loss_weights={"clip": 1.0, "simsiam": 1.0, "mlm": 0.5, "filip": 1.0})
@@ -93,6 +96,7 @@ def test_defilip_recipe_from_launcher(tmp_path):
     assert solver.recipe == "defilip"
 
 
+@pytest.mark.slow
 def test_filip_recipe_from_launcher(tmp_path):
     cfg = _config("clip_tiny_recipe_test", recipe="filip")
     solver, state = _run(cfg, tmp_path)
@@ -105,6 +109,7 @@ def test_filip_recipe_from_launcher(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_slip_recipe_from_launcher(tmp_path):
     cfg = _config("clip_tiny_recipe_test", recipe="slip")
     cfg["ssl"] = {"scale": 1.0, "temperature": 0.1}

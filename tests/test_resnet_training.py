@@ -13,6 +13,11 @@ from iterated_learning_for_vlm_tpu.train.schedule import cosine
 from iterated_learning_for_vlm_tpu.train.step import make_train_step
 from iterated_learning_for_vlm_tpu.train.train_state import TrainState
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-minute e2e compiles; 'make test-all' runs these
+
+
 T = TextConfig(context_length=12, vocab_size=128, width=32, heads=2, layers=1,
                embed_dim=24)
 R = ResNetConfig(layers=(1, 1), width=16, input_resolution=32, embed_dim=24, heads=4)

@@ -16,6 +16,11 @@ from iterated_learning_for_vlm_tpu.parallel.mesh import create_mesh
 from iterated_learning_for_vlm_tpu.train.solver import Solver, fdt_temperature
 from iterated_learning_for_vlm_tpu.utils.config import Config
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # multi-minute e2e compiles; 'make test-all' runs these
+
+
 V = VisionConfig(input_resolution=16, patch_size=8, width=32, layers=2, heads=2, embed_dim=16)
 T = TextConfig(context_length=16, width=32, heads=2, layers=2, embed_dim=16)
 F = FDTConfig(sd_num=32, sd_dim=16, raw_img_ft_dim=32, raw_txt_ft_dim=32,
