@@ -33,6 +33,32 @@ class VisionConfig:
     unroll: bool = False
 
 
+class FrozenPatchEmbed(nn.Module):
+    """Bias-free conv patch embed whose kernel is PERMANENTLY frozen
+    (reference ``visual_transformer.py:12,45-52`` — ``freeze_conv1=True`` in
+    every factory).  ``stop_gradient`` on the kernel makes XLA skip the
+    weight-grad matmul entirely instead of computing a gradient the optimizer
+    mask then discards.  Param path stays ``conv1/kernel`` for checkpoint
+    parity (plain module, no flax transform — ``nn.map_variables`` breaks on
+    re-entrant calls from two-view models like DECLIP-FDT)."""
+    features: int
+    patch_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch_size
+        kernel = self.param(
+            "kernel", torch_kaiming_uniform(), (p, p, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        kernel = jax.lax.stop_gradient(kernel).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(p, p), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class VisionTransformer(nn.Module):
     cfg: VisionConfig
     dtype: Any = jnp.float32
@@ -47,24 +73,8 @@ class VisionTransformer(nn.Module):
         cfg = self.cfg
         scale = cfg.width ** -0.5
 
-        # conv1 is PERMANENTLY frozen (reference visual_transformer.py:12,45-52
-        # freeze_conv1=True in every factory) — stop_gradient makes XLA skip
-        # the weight-grad matmul entirely instead of computing a gradient the
-        # optimizer mask then discards.  nn.map_variables keeps the
-        # ``conv1/kernel`` param naming for checkpoint parity.
-        FrozenConv = nn.map_variables(
-            nn.Conv, "params",
-            trans_in_fn=lambda p: jax.tree.map(jax.lax.stop_gradient, p),
-            init=True,
-        )
-        x = FrozenConv(
-            features=cfg.width,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size),
-            use_bias=False,
-            kernel_init=torch_kaiming_uniform(),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
+        x = FrozenPatchEmbed(
+            features=cfg.width, patch_size=cfg.patch_size, dtype=self.dtype,
             name="conv1",
         )(images.astype(self.dtype))
         b, gh, gw, w = x.shape
