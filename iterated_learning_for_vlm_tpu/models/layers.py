@@ -151,6 +151,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     collect_hidden: bool = False
+    collect_attn: bool = False
 
     @nn.compact
     def __call__(self, x, _=None):
@@ -158,14 +159,15 @@ class ResidualAttentionBlock(nn.Module):
         if self.causal:
             s = x.shape[1]
             bias = jnp.triu(jnp.full((s, s), -jnp.inf, dtype=jnp.float32), k=1)
-        attn_out, _w = MultiheadAttention(
+        attn_out, w = MultiheadAttention(
             num_heads=self.heads,
             attn_std=self.attn_std,
             proj_std=self.proj_std,
             dtype=self.dtype,
             use_flash=self.use_flash,
             name="attn",
-        )(LayerNorm(dtype=self.dtype, name="ln_1")(x), bias=bias)
+        )(LayerNorm(dtype=self.dtype, name="ln_1")(x), bias=bias,
+          return_weights=self.collect_attn)
         x = x + attn_out
         x = x + MLP(
             width=self.width,
@@ -174,7 +176,8 @@ class ResidualAttentionBlock(nn.Module):
             dtype=self.dtype,
             name="mlp",
         )(LayerNorm(dtype=self.dtype, name="ln_2")(x))
-        return x, (x if self.collect_hidden else None)
+        return x, (x if self.collect_hidden else None,
+                   w if self.collect_attn else None)
 
 
 class Transformer(nn.Module):
@@ -198,10 +201,20 @@ class Transformer(nn.Module):
     unroll: bool = False
 
     @nn.compact
-    def __call__(self, x, return_hidden_states: bool = False):
+    def __call__(self, x, return_hidden_states: bool = False,
+                 return_attn_weights: bool = False):
         """``return_hidden_states`` also returns the per-layer outputs
         stacked as [L, B, S, D] (reference ``Transformer_module_list`` /
-        the ``*_inter`` encoder variants, SURVEY §2.1)."""
+        the ``*_inter`` encoder variants, SURVEY §2.1).
+
+        ``return_attn_weights`` also returns per-layer head-averaged attention
+        probabilities stacked as [L, B, S, S] — the capability behind the
+        reference's ``*_auxilary`` encoder variants, whose vendored MHA
+        exposes attention probs via forward hooks for interpretability
+        tooling (``image_encoder/auxilary.py``; the committed aux forward's
+        ``att`` return is stale — it yields the hidden state, so true probs
+        were only reachable through the hooks).  When set, the call returns
+        the triple ``(x, hidden_or_None, attn)``."""
         attn_std = self.width ** -0.5
         proj_std = (self.width ** -0.5) * ((2 * self.layers) ** -0.5)
         fc_std = (2 * self.width) ** -0.5
@@ -218,7 +231,7 @@ class Transformer(nn.Module):
             unroll=self.layers if self.unroll else 1,
             metadata_params={nn.PARTITION_NAME: None},
         )
-        x, hidden = ScannedBlock(
+        x, (hidden, attn) = ScannedBlock(
             width=self.width,
             heads=self.heads,
             attn_std=attn_std,
@@ -228,8 +241,11 @@ class Transformer(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             collect_hidden=return_hidden_states,
+            collect_attn=return_attn_weights,
             name="resblocks",
         )(x, None)
+        if return_attn_weights:
+            return x, hidden, attn
         if return_hidden_states:
             return x, hidden
         return x

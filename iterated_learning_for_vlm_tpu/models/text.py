@@ -42,13 +42,16 @@ class TextTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, pad_mask: jnp.ndarray | None = None):
+    def __call__(self, tokens: jnp.ndarray, pad_mask: jnp.ndarray | None = None,
+                 return_attn: bool = False):
         """tokens: int32 [B, ctx]; pad_mask: float32 [B, ctx] (0 real / -inf pad).
 
         Returns dict with ``embed`` [B, E] (projected EOT feature), ``words``
         [B, ctx, W] (post-ln_final token features, the reference's
         ``words_feat``), ``pooled_raw`` [B, W] (EOT feature before projection)
-        and ``pad_mask`` passed through.
+        and ``pad_mask`` passed through.  ``return_attn`` adds
+        ``attn_weights`` [L, B, ctx, ctx] — per-layer head-averaged attention
+        probs (the reference ``text_transformer_auxilary`` hook surface).
         """
         cfg = self.cfg
         emb = nn.Embed(
@@ -75,7 +78,10 @@ class TextTransformer(nn.Module):
             dtype=self.dtype,
             use_flash=cfg.use_flash,
             name="transformer",
-        )(emb)
+        )(emb, return_attn_weights=return_attn)
+        attn = None
+        if return_attn:
+            x, _, attn = x
         words = LayerNorm(dtype=self.dtype, name="ln_final")(x)
 
         # EOT pooling: eot is the highest token id in each row.
@@ -95,13 +101,16 @@ class TextTransformer(nn.Module):
         # clip.py:107-115) — same projection params, per-token
         words_proj = projection(words)
 
-        return {
+        out = {
             "embed": embed,
             "words": words,
             "words_proj": words_proj,
             "pooled_raw": pooled_raw,
             "pad_mask": pad_mask,
         }
+        if return_attn:
+            out["attn_weights"] = attn
+        return out
 
 
 # Factories mirroring reference dims (``text_transformer.py:341-368``).

@@ -64,11 +64,16 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray):
+    def __call__(self, images: jnp.ndarray, return_attn: bool = False):
         """images: [B, H, W, 3] (NHWC, TPU-native layout).
 
         Returns dict with ``embed`` [B, E], ``patches`` [B, grid^2, W] (dense
         tokens before ln_post), ``pooled_raw`` [B, W] (CLS after ln_post).
+
+        ``return_attn`` adds ``attn_weights`` [L, B, S, S] (per-layer
+        head-averaged attention probs) and ``cls_attn`` [L, B, S] (the CLS
+        query row — the reference ``*_auxilary`` variants' ``att[:, 0]``
+        surface, ``visual_transformer_auxilary.py:55,76``).
         """
         cfg = self.cfg
         scale = cfg.width ** -0.5
@@ -102,7 +107,10 @@ class VisionTransformer(nn.Module):
             dtype=self.dtype,
             use_flash=cfg.use_flash,
             name="transformer",
-        )(x)
+        )(x, return_attn_weights=return_attn)
+        attn = None
+        if return_attn:
+            x, _, attn = x
 
         patches = x[:, 1:, :]
         # ln_post over all tokens (per-token op): row 0 is the reference's
@@ -113,8 +121,12 @@ class VisionTransformer(nn.Module):
         proj = self.param("proj", scaled_normal(scale), (cfg.width, cfg.embed_dim))
         embed = pooled_raw @ proj.astype(self.dtype)
         patches_proj = ln_all[:, 1:, :] @ proj.astype(self.dtype)
-        return {"embed": embed, "patches": patches, "pooled_raw": pooled_raw,
-                "patches_proj": patches_proj}
+        out = {"embed": embed, "patches": patches, "pooled_raw": pooled_raw,
+               "patches_proj": patches_proj}
+        if return_attn:
+            out["attn_weights"] = attn
+            out["cls_attn"] = attn[:, :, 0, :]
+        return out
 
 
 # Factory configs mirroring the reference factory dims

@@ -188,3 +188,54 @@ def test_conv1_stop_gradient():
     g = jax.grad(lambda pp: m.apply({"params": pp}, x)["embed"].sum())(p)
     assert float(np.abs(np.asarray(g["conv1"]["kernel"])).max()) == 0.0
     assert float(np.abs(np.asarray(g["proj"])).max()) > 0.0
+
+
+def test_tower_attn_and_hidden_collection():
+    """Per-layer attention probs + hidden states (reference ``*_auxilary`` /
+    ``*_inter`` encoder-variant surfaces, SURVEY §2.1)."""
+    from iterated_learning_for_vlm_tpu.models.text import TextTransformer
+    from iterated_learning_for_vlm_tpu.models.vit import VisionTransformer
+
+    images, tokens, pad_mask = _batch()
+    b, s_img = 2, (32 // 8) ** 2 + 1
+
+    vt = VisionTransformer(TINY_VISION)
+    vparams = vt.init(jax.random.PRNGKey(0), images)
+    out = vt.apply(vparams, images, return_attn=True)
+    attn = out["attn_weights"]
+    assert attn.shape == (TINY_VISION.layers, b, s_img, s_img)
+    # rows are softmax distributions
+    np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, atol=1e-4)
+    assert out["cls_attn"].shape == (TINY_VISION.layers, b, s_img)
+    np.testing.assert_allclose(
+        np.asarray(out["cls_attn"]), np.asarray(attn[:, :, 0, :]), atol=0)
+    # plain forward identical with/without collection
+    base = vt.apply(vparams, images)
+    np.testing.assert_allclose(np.asarray(base["embed"]),
+                               np.asarray(out["embed"]), atol=1e-5)
+
+    tt = TextTransformer(TINY_TEXT)
+    tparams = tt.init(jax.random.PRNGKey(1), tokens, pad_mask)
+    tout = tt.apply(tparams, tokens, pad_mask, return_attn=True)
+    tattn = tout["attn_weights"]
+    ctx = TINY_TEXT.context_length
+    assert tattn.shape == (TINY_TEXT.layers, b, ctx, ctx)
+    # causal: no probability mass above the diagonal
+    upper = np.triu(np.ones((ctx, ctx)), k=1)
+    assert float(np.abs(np.asarray(tattn) * upper).max()) < 1e-6
+
+
+def test_transformer_hidden_states_stacked():
+    from iterated_learning_for_vlm_tpu.models.layers import Transformer
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 7, 16), jnp.float32)
+    tr = Transformer(width=16, layers=3, heads=2)
+    params = tr.init(jax.random.PRNGKey(0), x)
+    y, hidden = tr.apply(params, x, return_hidden_states=True)
+    assert hidden.shape == (3, 2, 7, 16)
+    # last collected hidden state == final output
+    np.testing.assert_allclose(np.asarray(hidden[-1]), np.asarray(y), atol=1e-6)
+    y2, hidden2, attn = tr.apply(params, x, return_hidden_states=True,
+                                 return_attn_weights=True)
+    assert attn.shape == (3, 2, 7, 7)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-6)
