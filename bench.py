@@ -32,7 +32,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from iterated_learning_for_vlm_tpu import enable_compilation_cache  # noqa: E402
 from iterated_learning_for_vlm_tpu.models import model_entry  # noqa: E402
+
+enable_compilation_cache()
 from iterated_learning_for_vlm_tpu.train.optim import (  # noqa: E402
     adamw_init, build_wd_tree, trainable_mask_tree,
 )

@@ -23,3 +23,23 @@ communication layer).
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Point JAX at a persistent compilation cache so repeat invocations of
+    the same entry point (bench, train, eval CLI, dryrun) skip the 1-10 min
+    cold XLA compile of the full train step.  Call before first device use.
+    Safe no-op on backends/configs that reject the option."""
+    import os
+
+    import jax
+
+    path = path or os.environ.get(
+        "ILVLM_COMPILATION_CACHE", os.path.expanduser("~/.cache/ilvlm_xla_cache")
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

@@ -251,6 +251,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from .. import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -28,6 +28,9 @@ def find_checkpoints(ckpt_dir):
 
 
 def main():
+    from iterated_learning_for_vlm_tpu import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--model_config", required=True)
     p.add_argument("--ckpt_dir", required=True)

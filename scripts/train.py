@@ -32,8 +32,11 @@ def main():
 
         jax.distributed.initialize()
 
+    from iterated_learning_for_vlm_tpu import enable_compilation_cache
     from iterated_learning_for_vlm_tpu.train.solver import Solver
     from iterated_learning_for_vlm_tpu.utils.config import load_config
+
+    enable_compilation_cache()
 
     config = load_config(args.config)
     solver = Solver(
