@@ -120,6 +120,12 @@ def clip_swinL_v2(**kw):
     return _clip(swin_l_v2, text_large, kw)
 
 
+def clip_swinMoE_B(**kw):
+    from .swin import swin_moe_b
+
+    return _clip(swin_moe_b, text_base, kw)
+
+
 def clip_fdt_swinB_v2(**kw):
     from .swin import swin_b_v2
 
@@ -166,6 +172,7 @@ _REGISTRY = {
     "clip_swinB_v2": clip_swinB_v2,
     "clip_swinL": clip_swinL,
     "clip_swinL_v2": clip_swinL_v2,
+    "clip_swinMoE_B": clip_swinMoE_B,
     "clip_fdt_vitb32": clip_fdt_vitb32,
     "clip_fdt_vitb16": clip_fdt_vitb16,
     "clip_fdt_swinB_v2": clip_fdt_swinB_v2,

@@ -87,15 +87,19 @@ class CLIP(nn.Module):
         return out["words_proj"], pad_mask
 
     def __call__(self, images, tokens, pad_mask=None, train: bool = False):
-        image_features = self.encode_image(images, train=train)
+        vis_out = self._visual(images, train)
+        image_features = vis_out["embed"]
         text_features = self.encode_text(tokens, pad_mask)
 
         image_features = l2_normalize(image_features.astype(jnp.float32))
         text_features = l2_normalize(text_features.astype(jnp.float32), eps=1e-10)
 
         scale = jnp.minimum(jnp.exp(self.logit_scale[0]), LOGIT_SCALE_MAX)
-        return {
+        out = {
             "image_embed": image_features,
             "text_embed": text_features,
             "logit_scale": scale,
         }
+        if "moe_aux" in vis_out:  # Swin-MoE load-balancing loss term
+            out["moe_aux"] = vis_out["moe_aux"]
+        return out

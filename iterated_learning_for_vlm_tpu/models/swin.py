@@ -43,6 +43,14 @@ class SwinConfig:
     v2: bool = True
     output_dim: int = 512  # CLIP projection dim
     remat: bool = False
+    # Swin-MoE (reference ``swin_transformer_moe.py``, Tutel-backed there):
+    # odd blocks of the listed stages swap their MLP for a top-k gated
+    # mixture of experts (the alternate-block placement the Swin-MoE
+    # configs use).  0 experts = dense everywhere.
+    num_experts: int = 0
+    moe_stages: Tuple[int, ...] = (2, 3)
+    moe_top_k: int = 1
+    capacity_factor: float = 1.25
 
 
 def _window_partition(x, ws):
@@ -128,6 +136,73 @@ class WindowAttention(nn.Module):
                         param_dtype=jnp.float32, name="proj")(out)
 
 
+class MoEMlp(nn.Module):
+    """Top-k gated mixture-of-experts MLP (GShard/Switch formulation).
+
+    TPU-native stand-in for the reference's Tutel-backed ``MoEMlp``
+    (``swin_transformer_moe.py:43-93``): fp32 gate, top-k dispatch with a
+    static capacity ``ceil(cf * tokens * k / E)`` (XLA needs fixed shapes —
+    overflow tokens are dropped, exactly Tutel's capacity semantics), and the
+    GShard load-balancing aux loss ``E * sum(me * ce)``.  Dispatch/combine are
+    one-hot einsums; expert kernels are stacked ``[E, d, h]`` so an
+    expert-parallel mesh axis can shard dim 0 (``parallel/sharding_rules``).
+    """
+    dim: int
+    hidden: int
+    num_experts: int
+    top_k: int = 1
+    capacity_factor: float = 1.25
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, l, d = x.shape
+        e, k = self.num_experts, self.top_k
+        tokens = x.reshape(b * l, d)
+        t = tokens.shape[0]
+        capacity = max(k, int(np.ceil(self.capacity_factor * t * k / e)))
+
+        gate_logits = nn.Dense(
+            e, use_bias=False, kernel_init=scaled_normal(0.02),
+            dtype=jnp.float32, param_dtype=jnp.float32, name="gate",
+        )(tokens.astype(jnp.float32))
+        probs = jax.nn.softmax(gate_logits, axis=-1)  # [T, E] fp32
+
+        # GShard aux loss on top-1 routing fractions.
+        top1 = jnp.argmax(probs, axis=-1)
+        ce = jnp.mean(jax.nn.one_hot(top1, e, dtype=jnp.float32), axis=0)
+        me = jnp.mean(probs, axis=0)
+        aux = e * jnp.sum(me * ce)
+
+        combine = jnp.zeros((t, e, capacity), jnp.float32)
+        remaining = probs
+        fill = jnp.zeros((e,), jnp.int32)  # slots already used per expert
+        for _ in range(k):
+            idx = jnp.argmax(remaining, axis=-1)                   # [T]
+            gate = jnp.take_along_axis(remaining, idx[:, None], 1)[:, 0]
+            onehot = jax.nn.one_hot(idx, e, dtype=jnp.float32)     # [T, E]
+            pos = (jnp.cumsum(onehot, axis=0) - 1.0 + fill) * onehot   # [T, E]
+            in_cap = (pos < capacity).astype(jnp.float32) * onehot
+            pos_oh = jax.nn.one_hot(pos.sum(-1).astype(jnp.int32), capacity,
+                                    dtype=jnp.float32)             # [T, C]
+            combine = combine + gate[:, None, None] * in_cap[:, :, None] * pos_oh[:, None, :]
+            fill = fill + jnp.sum(in_cap, axis=0).astype(jnp.int32)
+            remaining = remaining * (1.0 - onehot)
+
+        dispatch = (combine > 0).astype(self.dtype)                # [T, E, C]
+        w1 = self.param("w1", torch_kaiming_uniform(), (e, d, self.hidden), jnp.float32)
+        b1 = self.param("b1", nn.initializers.zeros, (e, 1, self.hidden), jnp.float32)
+        w2 = self.param("w2", torch_kaiming_uniform(), (e, self.hidden, d), jnp.float32)
+        b2 = self.param("b2", nn.initializers.zeros, (e, 1, d), jnp.float32)
+
+        expert_in = jnp.einsum("tec,td->ecd", dispatch, tokens.astype(self.dtype))
+        h = jnp.einsum("ecd,edh->ech", expert_in, w1.astype(self.dtype)) + b1.astype(self.dtype)
+        h = nn.gelu(h, approximate=False)
+        out = jnp.einsum("ech,ehd->ecd", h, w2.astype(self.dtype)) + b2.astype(self.dtype)
+        y = jnp.einsum("tec,ecd->td", combine.astype(self.dtype), out)
+        return y.reshape(b, l, d), aux
+
+
 class SwinBlock(nn.Module):
     dim: int
     heads: int
@@ -137,6 +212,9 @@ class SwinBlock(nn.Module):
     mlp_ratio: float
     v2: bool
     dtype: Any = jnp.float32
+    num_experts: int = 0  # >0: MoE MLP (Swin-MoE block)
+    moe_top_k: int = 1
+    capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, _=None):
@@ -158,8 +236,18 @@ class SwinBlock(nn.Module):
                 img = jnp.roll(img, (shift, shift), axis=(1, 2))
             return img.reshape(b, l, c)
 
+        aux = jnp.zeros((), jnp.float32)
+
         def mlp_part(x):
+            nonlocal aux
             hdim = int(self.dim * self.mlp_ratio)
+            if self.num_experts > 0:
+                y, aux = MoEMlp(dim=self.dim, hidden=hdim,
+                                num_experts=self.num_experts,
+                                top_k=self.moe_top_k,
+                                capacity_factor=self.capacity_factor,
+                                dtype=self.dtype, name="moe_mlp")(x)
+                return y
             hmid = nn.Dense(hdim, kernel_init=torch_kaiming_uniform(), dtype=self.dtype,
                             param_dtype=jnp.float32, name="mlp_fc1")(x)
             hmid = nn.gelu(hmid, approximate=False)
@@ -173,7 +261,7 @@ class SwinBlock(nn.Module):
         else:  # pre-norm
             x = x + attn_part(LayerNorm(dtype=self.dtype, name="norm1")(x))
             x = x + mlp_part(LayerNorm(dtype=self.dtype, name="norm2")(x))
-        return x, None
+        return x, aux
 
     def _shift_mask(self, hw, ws, shift):
         img_mask = np.zeros((1, hw, hw, 1), np.float32)
@@ -226,15 +314,23 @@ class SwinTransformer(nn.Module):
 
         res = h
         dim = cfg.embed_dim
+        moe_aux = jnp.zeros((), jnp.float32)
         for stage, depth in enumerate(cfg.depths):
             for blk in range(depth):
-                x, _ = SwinBlock(
+                is_moe = (cfg.num_experts > 0 and stage in cfg.moe_stages
+                          and blk % 2 == 1)
+                x, aux = SwinBlock(
                     dim=dim, heads=cfg.num_heads[stage], resolution=res,
                     window_size=cfg.window_size,
                     shift=0 if blk % 2 == 0 else cfg.window_size // 2,
                     mlp_ratio=cfg.mlp_ratio, v2=cfg.v2, dtype=self.dtype,
+                    num_experts=cfg.num_experts if is_moe else 0,
+                    moe_top_k=cfg.moe_top_k,
+                    capacity_factor=cfg.capacity_factor,
                     name=f"stage{stage}_block{blk}",
                 )(x)
+                if aux is not None:
+                    moe_aux = moe_aux + aux
             if stage < len(cfg.depths) - 1:
                 x = PatchMerging(dim=dim, resolution=res, v2=cfg.v2,
                                  dtype=self.dtype, name=f"merge{stage}")(x)
@@ -246,7 +342,10 @@ class SwinTransformer(nn.Module):
         pooled = x.mean(axis=1)
         proj = self.param("proj", scaled_normal(dim ** -0.5), (dim, cfg.output_dim))
         embed = pooled @ proj.astype(self.dtype)
-        return {"embed": embed, "patches": patches, "pooled_raw": pooled}
+        out = {"embed": embed, "patches": patches, "pooled_raw": pooled}
+        if cfg.num_experts > 0:
+            out["moe_aux"] = moe_aux  # add to the training loss, GShard-style
+        return out
 
 
 # factories matching the reference swin configs
@@ -263,3 +362,12 @@ def swin_l(embed_dim=768, **kw) -> SwinConfig:
 def swin_l_v2(embed_dim=768, **kw) -> SwinConfig:
     return SwinConfig(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48),
                       v2=True, output_dim=embed_dim)
+
+
+def swin_moe_b(embed_dim=512, num_experts=8, moe_top_k=1, **kw) -> SwinConfig:
+    """Swin-MoE base (reference ``swin_transformer_moe.py`` capability; its
+    vendored configs are Tutel-backed and unconsumed by any CLIP factory —
+    provided here as a first-class tower with expert-parallel headroom)."""
+    return SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+                      v2=False, output_dim=embed_dim, num_experts=num_experts,
+                      moe_top_k=moe_top_k)

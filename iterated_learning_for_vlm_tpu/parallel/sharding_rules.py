@@ -32,6 +32,11 @@ _QKV = {"in_proj"}  # packed qkv: split out (heads split)
 def param_spec(path, leaf) -> P:
     p = tuple(str(x) for x in path)
     ndim = getattr(leaf, "ndim", 0)
+    # Swin-MoE stacked expert params [E, ...]: shard the expert dim over the
+    # model axis (expert parallelism — each chip hosts E/tp experts; the
+    # one-hot dispatch einsum becomes an all-to-all under GSPMD).
+    if len(p) >= 2 and p[-2] == "moe_mlp" and p[-1] in ("w1", "w2", "b1", "b2"):
+        return P(MODEL_AXIS, *((None,) * (ndim - 1)))
     if len(p) >= 2 and p[-1] == "kernel" and ndim >= 2:
         parent = p[-2]
         lead = (None,) * (ndim - 2)  # scanned layer dim etc. unsharded

@@ -95,6 +95,9 @@ def make_train_step(
                 out["image_embed"], out["text_embed"], out["logit_scale"],
                 reference_scale=reference_scale,
             )
+            if "moe_aux" in out:  # Swin-MoE load-balancing term (weight 0.01,
+                # the Swin-MoE default ``aux_loss_weight``)
+                loss = loss + 0.01 * out["moe_aux"]
             if lipreg_lambda > 0.0:
                 from .lipreg import spectral_penalty
 

@@ -153,3 +153,39 @@ def test_zeroshot_classification_dummy():
                                          templates)
     assert m["acc1"] == 1.0
     assert m["mean_per_class_recall"] == 1.0
+
+
+def test_results_evaluators(tmp_path):
+    """Offline JSONL scorers (reference prototype/data/metrics/)."""
+    import json as _json
+
+    import numpy as _np
+
+    from iterated_learning_for_vlm_tpu.eval.results_evaluator import (
+        imagenet_eval, multiclass_eval, topk_accuracy,
+    )
+
+    # 4 samples, 3 classes: rows 0,1 correct@1; row 2 correct@2; row 3 wrong
+    scores = [[0.9, 0.05, 0.05], [0.1, 0.8, 0.1], [0.6, 0.3, 0.1], [0.1, 0.2, 0.7]]
+    labels = [0, 1, 1, 0]
+    f = tmp_path / "res.jsonl"
+    with open(f, "w") as fh:
+        for s, l in zip(scores, labels):
+            fh.write(_json.dumps({"score": s, "label": l}) + "\n")
+    res = imagenet_eval(str(f), topk=(1, 2))
+    assert res["top1"] == 50.0
+    assert res["top2"] == 75.0
+    # numpy path agrees
+    assert topk_accuracy(_np.asarray(scores), _np.asarray(labels), (1,))["top1"] == 50.0
+
+    f2 = tmp_path / "multi.jsonl"
+    with open(f2, "w") as fh:
+        for n in range(2):
+            fh.write(_json.dumps({
+                "score": [[0.9, 0.1], [0.2, 0.8]],
+                "label_list": [0, 1 if n == 0 else 0],
+                "label_name_list": ["color", "shape"],
+            }) + "\n")
+    res2 = multiclass_eval(str(f2))
+    assert res2["color"] == 100.0
+    assert res2["shape"] == 50.0
