@@ -25,6 +25,14 @@ except Exception:  # pragma: no cover - older jax or backend already up
     pass
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: the suite's wall clock is dominated by jit
+# compiles of near-identical step functions on the 8-device mesh; CPU-backend
+# executables cache across test runs (unlike the TPU tunnel's remote compile).
+from iterated_learning_for_vlm_tpu import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 assert jax.device_count() >= 8, (
     f"tests need 8 virtual CPU devices, got {jax.device_count()} on "
     f"{jax.default_backend()}"

@@ -1,5 +1,6 @@
 """DeCLIP multi-task train step smoke test (BN stats threading, loss terms)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,6 +23,7 @@ F = FDTConfig(sd_num=32, sd_dim=1024, raw_img_ft_dim=32, raw_txt_ft_dim=32,
               sd_temperature=10.0)
 
 
+@pytest.mark.slow  # heavy 8-device compile; covered by make test-all + TPU smokes
 def test_declip_step_runs_and_updates_bn():
     model = DeCLIPFDT(vision_cfg=V, text_cfg=T, fdt_cfg=F,
                       declip_cfg=DeCLIPConfig(text_mask_type="MLM"))

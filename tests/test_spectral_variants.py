@@ -1,5 +1,6 @@
 """Spectral-norm (_sp) variant training + lipreg-in-step tests."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,6 +74,7 @@ def test_sp_train_step_runs():
     assert not np.allclose(u0, u2)
 
 
+@pytest.mark.slow  # heavy 8-device compile; covered by make test-all + TPU smokes
 def test_lipreg_step_increases_loss():
     _, state0, step0, batch = _setup(lipreg=0.0)
     _, state1, step1, _ = _setup(lipreg=0.1)

@@ -1,6 +1,7 @@
 """Swin-MoE: top-k gated expert MLP (reference ``swin_transformer_moe.py``
 capability, Tutel-backed there — GShard einsum dispatch here)."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -101,6 +102,7 @@ def test_moe_expert_parallel_sharding_rule():
                       jnp.zeros((8, 4))) == P()
 
 
+@pytest.mark.slow  # heavy 8-device compile; covered by make test-all + TPU smokes
 def test_swin_moe_trains_one_step():
     """moe_aux flows into the jitted train step's loss."""
     from iterated_learning_for_vlm_tpu.models import CLIP
@@ -133,3 +135,31 @@ def test_swin_moe_trains_one_step():
     new_state, metrics = step(state, batch, jnp.asarray(0.0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_moe_expert_parallel_forward_matches_replicated():
+    """Forward with expert params sharded over the mesh model axis ==
+    replicated forward (GSPMD inserts the dispatch collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iterated_learning_for_vlm_tpu.parallel.mesh import create_mesh
+    from iterated_learning_for_vlm_tpu.parallel.sharding_rules import (
+        param_shardings,
+    )
+
+    mesh = create_mesh(8, model_parallel=2)
+    imgs = jnp.asarray(np.random.RandomState(0).randn(8, 16, 16, 3), jnp.float32)
+    tower = SwinTransformer(TINY_MOE)
+    variables = tower.init(jax.random.PRNGKey(0), imgs)
+    ref = tower.apply(variables, imgs)
+
+    shardings = param_shardings(variables["params"], mesh)
+    sharded = jax.tree.map(jax.device_put, variables["params"], shardings)
+    data_sh = NamedSharding(mesh, P("data"))
+    imgs_sh = jax.device_put(imgs, data_sh)
+    with mesh:
+        out = jax.jit(lambda p, x: tower.apply({"params": p}, x))(sharded, imgs_sh)
+    np.testing.assert_allclose(np.asarray(out["embed"]), np.asarray(ref["embed"]),
+                               atol=2e-4)
+    np.testing.assert_allclose(float(out["moe_aux"]), float(ref["moe_aux"]),
+                               rtol=1e-4)
