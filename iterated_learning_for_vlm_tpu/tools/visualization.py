@@ -137,3 +137,59 @@ def dump_text_codes(tracker: TopKCodeTracker, out_path: str, min_items: int = 3)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
     return out_path
+
+
+# -- per-layer self-attention visualization ---------------------------------
+# Parity target: reference ``prototype/tools/text_visualize.py:44-79`` — it
+# registers forward hooks on every text block's MHA, encodes captions, and
+# saves one attention-matrix image per (caption, layer).  Here the towers
+# expose per-layer probs directly (``return_attn``), no hooks needed.
+
+def text_attention_maps(model, variables, tokens, pad_mask=None) -> np.ndarray:
+    """Per-layer head-averaged text self-attention probs [L, B, S, S]."""
+    out = model.apply(variables, tokens, pad_mask, return_attn=True)
+    return np.asarray(out["attn_weights"], np.float32)
+
+
+def render_attention_map(attn: np.ndarray, out_path: str, labels=None,
+                         cell: int = 24) -> str:
+    """Save one [S, S] attention matrix as a red/blue heatmap PNG.
+
+    Mirrors the reference's per-layer ``plt.imshow(..., 'RdBu')`` dump
+    (``text_visualize.py:72-79``) including its row renormalisation by the
+    causal context length (row i is a distribution over i+1 tokens; scaling
+    by (i+1) makes rows comparable).
+    """
+    s = attn.shape[0]
+    renorm = (np.arange(s, dtype=np.float32) + 1.0)[:, None]
+    a = attn * renorm
+    a = a / max(float(a.max()), 1e-9)  # [0, 1]
+    # blue (low) -> white -> red (high)
+    r = np.clip(2.0 * a, 0, 1)
+    b = np.clip(2.0 * (1.0 - a), 0, 1)
+    g = np.minimum(r, b)
+    rgb = (np.stack([r, g, b], -1) * 255).astype(np.uint8)
+    img = Image.fromarray(rgb).resize((s * cell, s * cell), Image.NEAREST)
+    img.save(out_path)
+    return out_path
+
+
+def dump_text_attention(model, variables, tokens, pad_mask, out_dir: str,
+                        words_per_caption: Optional[List[List[str]]] = None,
+                        max_captions: int = 8) -> List[str]:
+    """Per-(caption, layer) attention PNGs, trimmed to each caption's real
+    length (reference ``text_vis_id_XXX_layer_YY.jpg`` naming)."""
+    os.makedirs(out_dir, exist_ok=True)
+    attn = text_attention_maps(model, variables, tokens, pad_mask)
+    n_layers, bsz = attn.shape[0], attn.shape[1]
+    lengths = (
+        np.asarray(pad_mask == 0).sum(-1).astype(int)
+        if pad_mask is not None else [attn.shape[-1]] * bsz
+    )
+    paths = []
+    for i in range(min(bsz, max_captions)):
+        n = int(lengths[i])
+        for layer in range(n_layers):
+            p = os.path.join(out_dir, f"text_vis_id_{i:03d}_layer_{layer:02d}.png")
+            paths.append(render_attention_map(attn[layer, i, :n, :n], p))
+    return paths

@@ -63,3 +63,36 @@ def test_text_sweep_and_dump(tmp_path):
 
     data = json.load(open(out))
     assert data and all("text" in item for v in data.values() for item in v)
+
+
+def test_text_attention_dump(tmp_path):
+    """Per-(caption, layer) attention PNGs from the return_attn surface
+    (reference tools/text_visualize.py hook flow)."""
+    import jax
+
+    from iterated_learning_for_vlm_tpu.models.text import TextConfig, TextTransformer
+    from iterated_learning_for_vlm_tpu.tools.visualization import (
+        dump_text_attention, text_attention_maps,
+    )
+
+    cfg = TextConfig(context_length=12, vocab_size=200, width=32, heads=2,
+                     layers=2, embed_dim=16)
+    model = TextTransformer(cfg)
+    rng = np.random.RandomState(0)
+    tokens = np.zeros((2, 12), np.int32)
+    pad_mask = np.full((2, 12), -np.inf, np.float32)
+    for i, n in enumerate((5, 8)):
+        tokens[i, :n] = rng.randint(1, 199, n)
+        tokens[i, n - 1] = 199
+        pad_mask[i, :n] = 0.0
+    variables = model.init(jax.random.PRNGKey(0), tokens, pad_mask)
+
+    attn = text_attention_maps(model, variables, tokens, pad_mask)
+    assert attn.shape == (2, 2, 12, 12)
+
+    paths = dump_text_attention(model, variables, tokens, pad_mask, str(tmp_path))
+    assert len(paths) == 2 * 2  # 2 captions x 2 layers
+    from PIL import Image as _Image
+
+    im = _Image.open(paths[0])
+    assert im.size == (5 * 24, 5 * 24)  # trimmed to caption length
