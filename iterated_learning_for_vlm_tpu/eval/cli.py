@@ -34,7 +34,7 @@ def _load_encoder(args):
     return load_eval_encoder(args.model_config, ckpt, batch_size=args.batch_size)
 
 
-def _dump(args, dataset, task, metrics, language="en"):
+def _dump(args, dataset, task, metrics, language="en", extra=None):
     rec = {
         "dataset": dataset,
         "model": args.model_config,
@@ -43,6 +43,8 @@ def _dump(args, dataset, task, metrics, language="en"):
         "metrics": metrics,
         "language": language,
     }
+    if extra:  # --dump_classnames / --dump_templates (reference cli.py)
+        rec.update(extra)
     out = args.output
     if out:
         # reference cli.py --output is a template, e.g.
@@ -58,21 +60,50 @@ def _dump(args, dataset, task, metrics, language="en"):
     return rec
 
 
+def _custom_override(path, dataset):
+    """--custom_classname_file / --custom_template_file: JSON list, or dict
+    keyed by dataset name (reference cli.py semantics)."""
+    if not path:
+        return None
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        return data.get(dataset) or data.get(str(dataset).replace("/", "_"))
+    return data
+
+
 def cmd_eval(args):
     from .builder import apply_language, build_dataset
     from .zeroshot_classification import evaluate_zeroshot_classification
     from .zeroshot_retrieval import evaluate_retrieval
 
-    encoder = _load_encoder(args)
+    encoder = None
     languages = args.language if isinstance(args.language, list) else [args.language]
     recs = []
     for language in languages:  # reference main_eval language product (cli.py:116-195)
+        if args.skip_existing and args.output:
+            candidate = args.output.format(
+                dataset=str(args.dataset).replace("/", "_"), task=args.task,
+                language=language, model=os.path.basename(str(args.model_config)),
+                pretrained=os.path.basename(str(args.pretrained)))
+            if os.path.exists(candidate):  # reference cli.py --skip_existing
+                print(f"skip existing {candidate}", file=sys.stderr)
+                continue
+        if encoder is None:
+            encoder = _load_encoder(args)
         ds = build_dataset(args.dataset, root=args.dataset_root, split=args.split)
         ds = apply_language(ds, language, lang_root=args.language_root or None)
+        custom_names = _custom_override(args.custom_classname_file, args.dataset)
+        if custom_names:
+            ds.classnames = custom_names
+        custom_templates = _custom_override(args.custom_template_file, args.dataset)
+        if custom_templates:
+            ds.templates = custom_templates
         task = args.task if args.task != "auto" else ds.task
         if task == "zeroshot_classification":
             metrics = evaluate_zeroshot_classification(
-                encoder, ds.images, ds.labels, ds.classnames, ds.templates
+                encoder, ds.images, ds.labels, ds.classnames, ds.templates,
+                save_clf=args.save_clf, load_clfs=args.load_clfs or (),
             )
         elif task == "zeroshot_retrieval":
             metrics = evaluate_retrieval(encoder, ds.images, ds.captions_per_image,
@@ -90,14 +121,26 @@ def cmd_eval(args):
             from .linear_probe import evaluate_linear_probe
 
             train_ds = build_dataset(args.dataset, root=args.dataset_root,
-                                     split="train")
+                                     split=args.train_split)
             metrics = evaluate_linear_probe(
                 encoder, train_ds.images, train_ds.labels, ds.images, ds.labels,
                 fewshot_k=args.fewshot_k,
+                val_fraction=args.val_proportion,
+                # the reference's epoch knob maps to full-batch steps here
+                # (50 steps per "epoch"; default 10 epochs == 500 steps)
+                steps=max(1, args.fewshot_epochs) * 50,
+                lr=args.fewshot_lr,
+                seed=args.seed,
             )
         else:
             raise SystemExit(f"unknown task {task}")
-        recs.append(_dump(args, args.dataset, task, metrics, language=language))
+        extra = {}
+        if args.dump_classnames:
+            extra["classnames"] = list(ds.classnames or [])
+        if args.dump_templates:
+            extra["templates"] = list(ds.templates or [])
+        recs.append(_dump(args, args.dataset, task, metrics, language=language,
+                          extra=extra))
     return recs[0] if len(recs) == 1 else recs
 
 
@@ -206,6 +249,26 @@ def build_parser():
     e.add_argument("--task", default="auto")
     e.add_argument("--recall_k", type=int, nargs="+", default=[1, 5, 10])
     e.add_argument("--fewshot_k", type=int, default=-1)
+    e.add_argument("--train_split", default="train",
+                   help="split used to fit the linear probe")
+    e.add_argument("--val_proportion", type=float, default=0.0,
+                   help="held-out fraction of train for the probe's WD search")
+    e.add_argument("--fewshot_epochs", type=int, default=10,
+                   help="probe budget; one epoch == 50 full-batch steps here")
+    e.add_argument("--fewshot_lr", type=float, default=0.1)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--save_clf", default=None,
+                   help="save the zeroshot classifier to this .npy")
+    e.add_argument("--load_clfs", nargs="+", default=[],
+                   help=".npy classifiers to average instead of building one")
+    e.add_argument("--custom_classname_file", default=None,
+                   help="JSON list or {dataset: [names]} overriding classnames")
+    e.add_argument("--custom_template_file", default=None,
+                   help="JSON list or {dataset: [templates]} overriding templates")
+    e.add_argument("--dump_classnames", action="store_true")
+    e.add_argument("--dump_templates", action="store_true")
+    e.add_argument("--skip_existing", action="store_true",
+                   help="skip when the formatted --output file already exists")
     e.add_argument("--language", nargs="+", default=["en"],
                    help="language(s) of classnames/templates (reference "
                         "cli.py --language); non-en entries load "

@@ -80,6 +80,7 @@ def evaluate_linear_probe(
     wd_candidates=(0.0, 1e-6, 1e-4, 1e-2),
     steps: int = 500,
     seed: int = 0,
+    lr: float = 0.1,
 ) -> Dict[str, float]:
     train_labels = np.asarray(train_labels)
     test_labels = np.asarray(test_labels)
@@ -101,14 +102,14 @@ def evaluate_linear_probe(
         best_acc = -1.0
         for wd in wd_candidates:
             w, b = _train_head(train_feats[tr_idx], train_labels[tr_idx], num_classes,
-                               weight_decay=wd, steps=steps, seed=seed)
+                               weight_decay=wd, steps=steps, seed=seed, lr=lr)
             acc = float(np.mean((train_feats[val_idx] @ w + b).argmax(-1)
                                 == train_labels[val_idx]))
             if acc > best_acc:
                 best_acc, best_wd = acc, wd
 
     w, b = _train_head(train_feats, train_labels, num_classes,
-                       weight_decay=best_wd, steps=steps, seed=seed)
+                       weight_decay=best_wd, steps=steps, seed=seed, lr=lr)
     logits = test_feats @ w + b
     metrics = accuracy_topk(logits, test_labels)
     metrics["mean_per_class_recall"] = mean_per_class_recall(logits, test_labels)

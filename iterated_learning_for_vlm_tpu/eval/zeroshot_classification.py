@@ -67,9 +67,25 @@ def evaluate_zeroshot_classification(
     classnames: Sequence[str],
     templates: Sequence[str],
     multilabel: bool = False,
+    save_clf: str | None = None,
+    load_clfs: Sequence[str] = (),
 ) -> Dict[str, float]:
-    """images: ndarray [N,H,W,3] or PIL list; labels: [N] ints (or [N,C] 0/1)."""
-    classifier = build_zeroshot_classifier(encoder, classnames, templates)
+    """images: ndarray [N,H,W,3] or PIL list; labels: [N] ints (or [N,C] 0/1).
+
+    ``save_clf`` / ``load_clfs``: persist or reuse the prompt-ensembled
+    classifier (reference ``cli.py --save_clf/--load_clfs``; multiple loaded
+    classifiers are averaged then re-normalized, matching the reference's
+    classifier-soup path — stored as ``.npy`` rather than torch tensors).
+    """
+    if load_clfs:
+        classifier = np.mean([np.load(p) for p in load_clfs], axis=0)
+        classifier = classifier / np.maximum(
+            np.linalg.norm(classifier, axis=0, keepdims=True), 1e-12
+        )
+    else:
+        classifier = build_zeroshot_classifier(encoder, classnames, templates)
+    if save_clf:
+        np.save(save_clf, classifier)
     img_emb = encoder.encode_images(images)
     logits = 100.0 * img_emb @ classifier
 

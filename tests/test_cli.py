@@ -77,3 +77,45 @@ def test_cli_sugar_crepe(tmp_path):
     ])
     assert "sugar-crepe-add_obj" in rec["metrics"]
     assert 0.0 <= rec["metrics"]["sugar-crepe-add_obj"] <= 1.0
+
+
+def test_cli_clf_roundtrip_custom_names_skip_existing(tmp_path, monkeypatch):
+    """save_clf -> load_clfs roundtrip, custom classname override,
+    dump_classnames, and --skip_existing (reference cli.py knobs)."""
+    from iterated_learning_for_vlm_tpu.eval import builder
+
+    monkeypatch.setattr(builder, "build_dummy", lambda n=8: _tiny_dummy())
+    cfg = _config_file(tmp_path)
+    clf = tmp_path / "clf.npy"
+    out1 = tmp_path / "r1.json"
+    rec = eval_cli.main([
+        "eval", "--model_config", cfg, "--dataset", "dummy",
+        "--batch_size", "8", "--save_clf", str(clf), "--output", str(out1),
+        "--dump_classnames",
+    ])
+    assert clf.exists()
+    assert rec["classnames"] == ["blank image", "noisy image"]
+
+    # loading the saved classifier (twice -> averaged) reproduces the metrics
+    rec2 = eval_cli.main([
+        "eval", "--model_config", cfg, "--dataset", "dummy",
+        "--batch_size", "8", "--load_clfs", str(clf), str(clf),
+    ])
+    assert rec2["metrics"]["acc1"] == rec["metrics"]["acc1"]
+
+    # custom classname file changes the dumped names
+    names = tmp_path / "names.json"
+    names.write_text(json.dumps({"dummy": ["empty picture", "static picture"]}))
+    rec3 = eval_cli.main([
+        "eval", "--model_config", cfg, "--dataset", "dummy",
+        "--batch_size", "8", "--custom_classname_file", str(names),
+        "--dump_classnames",
+    ])
+    assert rec3["classnames"] == ["empty picture", "static picture"]
+
+    # skip_existing: formatted output exists -> no records produced
+    recs = eval_cli.main([
+        "eval", "--model_config", cfg, "--dataset", "dummy",
+        "--batch_size", "8", "--output", str(out1), "--skip_existing",
+    ])
+    assert recs == []
