@@ -413,7 +413,23 @@ class Solver:
         )
         for k, v in metrics.items():
             self.logger.info("eval step %d: %s = %.4f", step, k, v)
-        self.metrics_writer.log({f"eval/{k}": v for k, v in metrics.items()}, step=step)
+        # best-composition-score tracking (reference train_solver.py:657-667:
+        # keeps the best split dict and flags a >0.003 mean drop; the caller
+        # there ignores the flag — kept here for state/metric parity).
+        mean_score = float(np.mean(list(metrics.values()))) if metrics else 0.0
+        prev = getattr(self, "best_composition_score", None)
+        improved = True
+        if prev:
+            prev_mean = float(np.mean(list(prev.values())))
+            if mean_score + 0.003 < prev_mean:
+                improved = False
+        if improved:
+            self.best_composition_score = dict(metrics)
+        self.metrics_writer.log(
+            {**{f"eval/{k}": v for k, v in metrics.items()},
+             "eval/sugar-crepe-mean-score": mean_score},
+            step=step,
+        )
         return metrics
 
     def imagenet_evaluate(self, step: int):

@@ -253,3 +253,37 @@ def test_simsiam_minimize_variant():
     z = jnp.asarray(rng.randn(4, 3, 8).astype(np.float32))
     loss = simsiam_loss(p, z, p, z, minimize_loss=True)
     assert -1.0 <= float(loss) <= 1.0
+
+
+def test_best_composition_score_tracking(tmp_path, monkeypatch):
+    """Best-score dict updates on improvement, holds on a >0.003 mean drop
+    (reference train_solver.py:657-667 gate, whose flag the caller ignores)."""
+    import logging
+    from types import SimpleNamespace
+
+    import iterated_learning_for_vlm_tpu.eval.encode as encode_mod
+    import iterated_learning_for_vlm_tpu.eval.sugar_crepe as sc_mod
+    from iterated_learning_for_vlm_tpu.train.solver import Solver
+    from iterated_learning_for_vlm_tpu.utils.logging import MetricsWriter
+
+    monkeypatch.setattr(encode_mod, "JitEncoder", lambda *a, **k: None)
+    scores = [{"add_obj": 0.5, "swap_att": 0.5},
+              {"add_obj": 0.4, "swap_att": 0.4},
+              {"add_obj": 0.6, "swap_att": 0.6}]
+    it = iter(scores)
+    monkeypatch.setattr(sc_mod, "evaluate_sugar_crepe", lambda *a, **k: next(it))
+
+    solver = object.__new__(Solver)
+    solver.config = SimpleNamespace(data={"test": {
+        "sc_data_root": str(tmp_path), "sc_image_root": str(tmp_path)}})
+    solver.logger = logging.getLogger("test_best_score")
+    solver.metrics_writer = MetricsWriter(str(tmp_path / "m.jsonl"), enabled=False)
+    solver.model, solver.is_fdt, solver.tokenizer = None, False, None
+    solver.state = SimpleNamespace(params=None)
+
+    assert Solver.evaluate(solver, 1) == scores[0]
+    assert solver.best_composition_score == scores[0]
+    Solver.evaluate(solver, 2)  # mean drops 0.1 > 0.003 -> best held
+    assert solver.best_composition_score == scores[0]
+    Solver.evaluate(solver, 3)  # improvement -> best replaced
+    assert solver.best_composition_score == scores[2]
