@@ -67,11 +67,22 @@ def _sizing(num_samples: int, batch_size: int, world_size: int, workers: int):
     return num_batches, num_batches * global_batch
 
 
+# JPEG draft decode: libjpeg can downscale in the DCT domain (1/2, 1/4, 1/8)
+# during decode, which is 2-6x faster than full decode + resize for large
+# CC3M-style images.  The train augment crops at 224, so asking for >=2x the
+# crop (448) keeps RandomResizedCrop's quality while skipping the full-res
+# bitmap.  No-op for non-JPEG and for images already smaller than the target.
+_DRAFT_TARGET = 448
+
+
 def _decode_image(sample: Dict[str, bytes]) -> Optional[Image.Image]:
     for ext in IMAGE_EXTS:
         if ext in sample:
             try:
-                return Image.open(io.BytesIO(sample[ext])).convert("RGB")
+                img = Image.open(io.BytesIO(sample[ext]))
+                if img.format == "JPEG":
+                    img.draft("RGB", (_DRAFT_TARGET, _DRAFT_TARGET))
+                return img.convert("RGB")
             except Exception:
                 return None
     return None

@@ -164,3 +164,31 @@ def test_multihost_loaders_disjoint_and_complete(tmp_path):
     assert seen[1] and seen[1] <= own[1], seen[1] - own[1]
     assert not (seen[0] & seen[1]), "hosts read overlapping samples"
     assert not (own[0] & own[1]) and (own[0] | own[1]) == set(range(32))
+
+
+def test_jpeg_draft_decode():
+    """Large JPEGs decode at a DCT-downscaled size (>= the 448 draft target);
+    small JPEGs and PNGs are untouched."""
+    import io as _io
+
+    import numpy as _np
+    from PIL import Image as _Image
+
+    from iterated_learning_for_vlm_tpu.data.pipeline import _decode_image
+
+    rng = _np.random.default_rng(0)
+
+    def jpeg_bytes(h, w, fmt="JPEG"):
+        buf = _io.BytesIO()
+        _Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype("uint8")).save(buf, fmt)
+        return buf.getvalue()
+
+    big = _decode_image({"jpg": jpeg_bytes(1200, 1600)})
+    assert big.mode == "RGB"
+    assert max(big.size) < 1600 and min(big.size) >= 448  # downscaled, not tiny
+
+    small = _decode_image({"jpg": jpeg_bytes(224, 224)})
+    assert small.size == (224, 224)
+
+    png = _decode_image({"png": jpeg_bytes(1024, 1024, fmt="PNG")})
+    assert png.size == (1024, 1024)
