@@ -23,20 +23,48 @@ from .train_state import TrainState
 
 _CKPT_RE = re.compile(r"ckpt_(\d+)$")
 
+# Singleton async checkpointer: device->host copy happens synchronously
+# inside save() (so the train step may donate the state buffers right after),
+# the disk write runs on a background thread — training no longer stalls for
+# the multi-minute Orbax write of a 150M-param state over the tunnel.
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
 
-def save_checkpoint(save_dir: str, state: TrainState, step: int, k_times_every: int = 0):
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until all in-flight async checkpoint writes are durable."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def save_checkpoint(save_dir: str, state: TrainState, step: int,
+                    k_times_every: int = 0, use_async: bool = False):
     path = os.path.join(os.path.abspath(save_dir), f"ckpt_{step}")
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state)
+    targets = [path]
     if k_times_every and step % k_times_every == 0:
         arch = os.path.abspath(save_dir.rstrip("/") + "_k_times")
         os.makedirs(arch, exist_ok=True)
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(os.path.join(arch, f"ckpt_{step}"), state)
+        targets.append(os.path.join(arch, f"ckpt_{step}"))
+    if use_async:
+        ckptr = _async_checkpointer()
+        for t in targets:
+            ckptr.wait_until_finished()  # at most one write in flight
+            ckptr.save(t, args=ocp.args.StandardSave(state))
+    else:
+        for t in targets:
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(t, state)
     return path
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    wait_for_saves()
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(os.path.abspath(path), template)
 

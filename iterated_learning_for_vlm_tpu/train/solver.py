@@ -386,12 +386,20 @@ class Solver:
                 if val_freq and step % val_freq == 0:
                     self.evaluate(step)
                 if save_freq and (step % save_freq == 0 or step == total_step):
-                    path = save_checkpoint(self.save_path, self.state, step,
-                                           k_times_every=save_freq * 10)
-                    self.logger.info("saved checkpoint %s", path)
+                    path = save_checkpoint(
+                        self.save_path, self.state, step,
+                        k_times_every=save_freq * 10,
+                        # async by default: device->host copy is synchronous
+                        # (donation-safe), the disk write overlaps training
+                        use_async=bool(self.config.saver.get("async_save", True)),
+                    )
+                    self.logger.info("saving checkpoint %s", path)
                 if step >= total_step:
                     done = True
                     break
+        from .checkpoint import wait_for_saves
+
+        wait_for_saves()
         return self.state
 
     # -- eval hook -----------------------------------------------------------

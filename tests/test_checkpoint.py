@@ -109,3 +109,19 @@ def test_ema():
     e = ema_init(p)
     e2 = ema_update(e, {"w": jnp.zeros((2,))}, decay=0.9)
     np.testing.assert_allclose(np.asarray(e2["w"]), [0.9, 0.9], atol=1e-6)
+
+
+def test_async_roundtrip_and_k_times(tmp_path):
+    """Async save overlaps the disk write; restore waits for in-flight
+    writes, and the k_times archive lands on the 10x cadence."""
+    from iterated_learning_for_vlm_tpu.train.checkpoint import wait_for_saves
+
+    state = _tiny_state().replace(step=jnp.asarray(30, jnp.int32))
+    save_checkpoint(str(tmp_path / "ck"), state, 30, k_times_every=30,
+                    use_async=True)
+    restored = restore_checkpoint(str(tmp_path / "ck" / "ckpt_30"), _tiny_state(1))
+    assert int(restored.step) == 30
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(state.params["w"]))
+    wait_for_saves()
+    assert (tmp_path / "ck_k_times" / "ckpt_30").exists()
