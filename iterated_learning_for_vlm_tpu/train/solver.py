@@ -81,12 +81,18 @@ class Solver:
         for p in (self.output_path, self.save_path, self.result_path):
             os.makedirs(p, exist_ok=True)
 
-        create_logger(os.path.join(self.output_path, "log.txt"))
+        # Multi-host: file logging / metrics / config dump from process 0
+        # only (reference logs rank-0, train_solver.py:169-183).  Orbax saves
+        # stay on ALL processes — the checkpointer coordinates internally.
+        is_main = jax.process_index() == 0
+        create_logger(os.path.join(self.output_path, "log.txt") if is_main else None)
         self.logger = get_logger("solver")
         self.metrics_writer = MetricsWriter(
-            os.path.join(self.output_path, "metrics.jsonl"), enabled=not debug
+            os.path.join(self.output_path, "metrics.jsonl"),
+            enabled=(not debug) and is_main,
         )
-        config.dump_json(os.path.join(self.output_path, "config.json"))
+        if is_main:
+            config.dump_json(os.path.join(self.output_path, "config.json"))
 
         self.mesh = mesh if mesh is not None else create_mesh()
         self.world_size = int(np.prod(list(self.mesh.shape.values())))
