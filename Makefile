@@ -1,7 +1,7 @@
 # Mirrors the reference CLIP_benchmark Makefile targets (install/test/lint)
 # plus the framework's bench/dryrun entries.
 
-.PHONY: install test test-all test-fast bench dryrun lint
+.PHONY: install test test-all test-fast bench dryrun lint shards shard-train shard-learn
 
 install:
 	pip install -e .
@@ -26,3 +26,15 @@ dryrun:
 
 lint:
 	python -m compileall -q iterated_learning_for_vlm_tpu tests scripts bench.py __graft_entry__.py
+
+# -- real-shard evidence runs (README "Real-shard training") ---------------
+shards:
+	python tools/make_train_shards.py /tmp/ilvlm_shards --shards 8 --per-shard 500
+
+shard-train: # IL schedule fires on-chip (reset/smooth windows)
+	python scripts/train.py --config configs/clip_fdt_shards_tpu.yaml \
+	    --output_path /tmp/ilvlm_shard_run --exp_name shards
+
+shard-learn: # plateau-breaking CLIP learning demo
+	python scripts/train.py --config configs/clip_shards_learn_tpu.yaml \
+	    --output_path /tmp/ilvlm_clip_learn --exp_name clip_learn
