@@ -31,7 +31,8 @@ def _load_encoder(args):
     ckpt = args.pretrained
     if ckpt and "," in ckpt:
         ckpt = ckpt.split(",")
-    return load_eval_encoder(args.model_config, ckpt, batch_size=args.batch_size)
+    return load_eval_encoder(args.model_config, ckpt, batch_size=args.batch_size,
+                             sd_temperature=getattr(args, "sd_temperature", None))
 
 
 def _dump(args, dataset, task, metrics, language="en", extra=None):
@@ -240,6 +241,10 @@ def build_parser():
                         help="checkpoint dir; comma-separated list = weight soup")
         sp.add_argument("--batch_size", type=int, default=64)
         sp.add_argument("--output", default=None)
+        sp.add_argument("--sd_temperature", type=float, default=None,
+                        help="override the FDT codebook temperature (score a "
+                             "T-decayed checkpoint at its final T, not the "
+                             "config's initial value)")
 
     e = sub.add_parser("eval")
     common(e)

@@ -47,10 +47,20 @@ def load_eval_encoder(
     checkpoint: Optional[Union[str, Sequence[str]]] = None,
     batch_size: int = 64,
     transform: str = "ONECROP",
+    sd_temperature: Optional[float] = None,
 ) -> JitEncoder:
     """checkpoint may be a path, a list of paths (averaged soup), or None
-    (random init, for smoke tests)."""
+    (random init, for smoke tests).
+
+    ``sd_temperature`` overrides the FDT codebook temperature for eval: like
+    the reference, eval rebuilds the model from the config YAML, so a
+    checkpoint trained with T-decay would otherwise be scored at the config's
+    initial T (1000) instead of the final decayed value."""
     cfg = load_config(config) if isinstance(config, str) else config
+    if sd_temperature is not None:
+        kwargs = cfg.model.get("kwargs", {})
+        if "fdt" in kwargs:
+            kwargs["fdt"]["sd_temperature"] = float(sd_temperature)
     model, is_fdt = build_model_from_config(cfg)
     template = init_template_state(model)
     def _load_one(path: str):

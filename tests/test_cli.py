@@ -119,3 +119,24 @@ def test_cli_clf_roundtrip_custom_names_skip_existing(tmp_path, monkeypatch):
         "--batch_size", "8", "--output", str(out1), "--skip_existing",
     ])
     assert recs == []
+
+
+def test_sd_temperature_override(tmp_path):
+    """--sd_temperature rebuilds the FDT model at the decayed eval T."""
+    import yaml as _yaml
+
+    from iterated_learning_for_vlm_tpu.eval.model_loader import load_eval_encoder
+
+    cfg = {"model": {"type": "clip_fdt_vitb32", "kwargs": {
+        "image_encode": {"embed_dim": 16},
+        "text_encode": {"embed_dim": 16},
+        "fdt": {"sd_num": 8, "sd_dim": 16, "raw_img_ft_dim": 768,
+                "raw_txt_ft_dim": 512, "sd_temperature": 1000,
+                "att_func_type": "sparsemax", "pool_type": "max"},
+    }}}
+    p = tmp_path / "fdt.yaml"
+    p.write_text(_yaml.safe_dump(cfg))
+    enc = load_eval_encoder(str(p), None, sd_temperature=2.0)
+    assert enc.model.fdt_cfg.sd_temperature == 2.0
+    enc2 = load_eval_encoder(str(p), None)
+    assert enc2.model.fdt_cfg.sd_temperature == 1000
