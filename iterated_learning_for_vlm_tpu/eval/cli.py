@@ -100,6 +100,10 @@ def cmd_eval(args):
         custom_templates = _custom_override(args.custom_template_file, args.dataset)
         if custom_templates:
             ds.templates = custom_templates
+        if args.template_set:  # reference prompt files (imagenet.py:43-49)
+            from .prompts import get_prompt_set
+
+            ds.templates = get_prompt_set(args.template_set)
         task = args.task if args.task != "auto" else ds.task
         if task == "zeroshot_classification":
             metrics = evaluate_zeroshot_classification(
@@ -270,6 +274,9 @@ def build_parser():
                    help="JSON list or {dataset: [names]} overriding classnames")
     e.add_argument("--custom_template_file", default=None,
                    help="JSON list or {dataset: [templates]} overriding templates")
+    e.add_argument("--template_set", default=None, choices=["1", "6", "8", "80"],
+                   help="use a reference prompt-ensemble set "
+                        "(prototype/data/datasets/prompts/query_pattern_promptN)")
     e.add_argument("--dump_classnames", action="store_true")
     e.add_argument("--dump_templates", action="store_true")
     e.add_argument("--skip_existing", action="store_true",

@@ -140,3 +140,23 @@ def test_sd_temperature_override(tmp_path):
     assert enc.model.fdt_cfg.sd_temperature == 2.0
     enc2 = load_eval_encoder(str(p), None)
     assert enc2.model.fdt_cfg.sd_temperature == 1000
+
+
+def test_template_set_ensembles(tmp_path, monkeypatch):
+    """--template_set 80 swaps in the CLIP prompt ensemble (token-exact vs
+    the reference prompt file) and zeroshot still runs."""
+    from iterated_learning_for_vlm_tpu.eval import builder
+    from iterated_learning_for_vlm_tpu.eval.prompts import (
+        PROMPT_80, get_prompt_set,
+    )
+
+    assert len(PROMPT_80) == 80 and len(set(PROMPT_80)) == 80
+    assert get_prompt_set("8")[0] == "a photo of a {}"
+
+    monkeypatch.setattr(builder, "build_dummy", lambda n=8: _tiny_dummy())
+    rec = eval_cli.main([
+        "eval", "--model_config", _config_file(tmp_path), "--dataset", "dummy",
+        "--batch_size", "8", "--template_set", "6", "--dump_templates",
+    ])
+    assert len(rec["templates"]) == 6
+    assert "acc1" in rec["metrics"]
