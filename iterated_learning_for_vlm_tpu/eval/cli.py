@@ -82,9 +82,14 @@ def cmd_eval(args):
     languages = args.language if isinstance(args.language, list) else [args.language]
     recs = []
     for language in languages:  # reference main_eval language product (cli.py:116-195)
+        ds = build_dataset(args.dataset, root=args.dataset_root, split=args.split)
+        # resolve 'auto' BEFORE formatting the skip path — the reference also
+        # resolves the task first (cli.py:234-247), else an {task} template
+        # checks "..._auto_..." and never matches what _dump wrote
+        task = args.task if args.task != "auto" else ds.task
         if args.skip_existing and args.output:
             candidate = args.output.format(
-                dataset=str(args.dataset).replace("/", "_"), task=args.task,
+                dataset=str(args.dataset).replace("/", "_"), task=task,
                 language=language, model=os.path.basename(str(args.model_config)),
                 pretrained=os.path.basename(str(args.pretrained)))
             if os.path.exists(candidate):  # reference cli.py --skip_existing
@@ -92,7 +97,6 @@ def cmd_eval(args):
                 continue
         if encoder is None:
             encoder = _load_encoder(args)
-        ds = build_dataset(args.dataset, root=args.dataset_root, split=args.split)
         ds = apply_language(ds, language, lang_root=args.language_root or None)
         custom_names = _custom_override(args.custom_classname_file, args.dataset)
         if custom_names:
@@ -104,11 +108,15 @@ def cmd_eval(args):
             from .prompts import get_prompt_set
 
             ds.templates = get_prompt_set(args.template_set)
-        task = args.task if args.task != "auto" else ds.task
         if task == "zeroshot_classification":
+            save_clf = args.save_clf
+            if save_clf and len(languages) > 1:
+                # one classifier per language, not a silent overwrite
+                root, ext = os.path.splitext(save_clf)
+                save_clf = f"{root}_{language}{ext or '.npy'}"
             metrics = evaluate_zeroshot_classification(
                 encoder, ds.images, ds.labels, ds.classnames, ds.templates,
-                save_clf=args.save_clf, load_clfs=args.load_clfs or (),
+                save_clf=save_clf, load_clfs=args.load_clfs or (),
             )
         elif task == "zeroshot_retrieval":
             metrics = evaluate_retrieval(encoder, ds.images, ds.captions_per_image,

@@ -35,15 +35,14 @@ def load_results(res_file: str) -> Dict[str, List]:
 
 def topk_accuracy(scores: np.ndarray, labels: np.ndarray,
                   topk: Sequence[int] = (1, 5)) -> Dict[str, float]:
-    """Percent top-k accuracy (reference ``ImageNetEvaluator.eval`` math)."""
-    scores = np.asarray(scores)
-    labels = np.asarray(labels).reshape(-1)
-    maxk = min(max(topk), scores.shape[1])
-    # descending top-maxk indices per row
-    pred = np.argsort(-scores, axis=1)[:, :maxk]
-    correct = pred == labels[:, None]
-    return {f"top{k}": 100.0 * float(correct[:, :k].any(axis=1).mean())
-            for k in topk}
+    """Percent top-k accuracy (reference ``ImageNetEvaluator.eval`` math) —
+    one source of truth: delegates to the zeroshot harness's scorer and only
+    adapts key names (``topN``) and percent scaling."""
+    from .zeroshot_classification import accuracy_topk
+
+    frac = accuracy_topk(np.asarray(scores), np.asarray(labels).reshape(-1),
+                         ks=tuple(topk))
+    return {f"top{k}": 100.0 * frac[f"acc{k}"] for k in topk}
 
 
 def imagenet_eval(res_file: str, topk: Sequence[int] = (1, 5)) -> Dict[str, float]:

@@ -146,6 +146,13 @@ class MoEMlp(nn.Module):
     GShard load-balancing aux loss ``E * sum(me * ce)``.  Dispatch/combine are
     one-hot einsums; expert kernels are stacked ``[E, d, h]`` so an
     expert-parallel mesh axis can shard dim 0 (``parallel/sharding_rules``).
+
+    Memory note: the one-hot formulation materializes ``[T, E, capacity]``
+    combine/dispatch tensors — O(cf * T^2 / 1) per MoE block.  Fine for the
+    late stages this config places MoE in (T = B * 49/196 tokens); placing
+    MoE in stage 0/1 at large batch would want a sort/segment dispatch
+    instead (the standard trade — Tutel makes the same one at its
+    ``capacity`` path before its custom kernels kick in).
     """
     dim: int
     hidden: int
@@ -364,10 +371,12 @@ def swin_l_v2(embed_dim=768, **kw) -> SwinConfig:
                       v2=True, output_dim=embed_dim)
 
 
-def swin_moe_b(embed_dim=512, num_experts=8, moe_top_k=1, **kw) -> SwinConfig:
+def swin_moe_b(embed_dim=512, num_experts=8, moe_top_k=1, capacity_factor=1.25,
+               moe_stages=(2, 3), **kw) -> SwinConfig:
     """Swin-MoE base (reference ``swin_transformer_moe.py`` capability; its
     vendored configs are Tutel-backed and unconsumed by any CLIP factory —
     provided here as a first-class tower with expert-parallel headroom)."""
     return SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
                       v2=False, output_dim=embed_dim, num_experts=num_experts,
-                      moe_top_k=moe_top_k)
+                      moe_top_k=moe_top_k, capacity_factor=capacity_factor,
+                      moe_stages=tuple(moe_stages))

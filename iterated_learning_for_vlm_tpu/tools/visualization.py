@@ -151,7 +151,7 @@ def text_attention_maps(model, variables, tokens, pad_mask=None) -> np.ndarray:
     return np.asarray(out["attn_weights"], np.float32)
 
 
-def render_attention_map(attn: np.ndarray, out_path: str, labels=None,
+def render_attention_map(attn: np.ndarray, out_path: str,
                          cell: int = 24) -> str:
     """Save one [S, S] attention matrix as a red/blue heatmap PNG.
 
@@ -175,7 +175,6 @@ def render_attention_map(attn: np.ndarray, out_path: str, labels=None,
 
 
 def dump_text_attention(model, variables, tokens, pad_mask, out_dir: str,
-                        words_per_caption: Optional[List[List[str]]] = None,
                         max_captions: int = 8) -> List[str]:
     """Per-(caption, layer) attention PNGs, trimmed to each caption's real
     length (reference ``text_vis_id_XXX_layer_YY.jpg`` naming)."""

@@ -310,6 +310,16 @@ class Solver:
         return prefetch_to_device(it, self.mesh, size=2)
 
     def train(self):
+        # in-flight async checkpoint writes must become durable even when the
+        # loop raises or is interrupted (the sync path guaranteed this)
+        from .checkpoint import wait_for_saves
+
+        try:
+            return self._train()
+        finally:
+            wait_for_saves()
+
+    def _train(self):
         cfg = self.config
         saver = cfg.get("saver", {}) or {}
         print_freq = int(saver.get("print_freq", 100))
@@ -403,9 +413,6 @@ class Solver:
                 if step >= total_step:
                     done = True
                     break
-        from .checkpoint import wait_for_saves
-
-        wait_for_saves()
         return self.state
 
     # -- eval hook -----------------------------------------------------------

@@ -160,3 +160,24 @@ def test_template_set_ensembles(tmp_path, monkeypatch):
     ])
     assert len(rec["templates"]) == 6
     assert "acc1" in rec["metrics"]
+
+
+def test_skip_existing_resolves_auto_task(tmp_path, monkeypatch):
+    """--skip_existing must format the candidate path with the RESOLVED task
+    (reference resolves before formatting), not the literal 'auto'."""
+    from iterated_learning_for_vlm_tpu.eval import builder
+
+    monkeypatch.setattr(builder, "build_dummy", lambda n=8: _tiny_dummy())
+    cfg = _config_file(tmp_path)
+    tmpl = str(tmp_path / "{dataset}_{task}_{language}.json")
+    rec = eval_cli.main([
+        "eval", "--model_config", cfg, "--dataset", "dummy",
+        "--batch_size", "8", "--output", tmpl,
+    ])
+    assert rec["task"] == "zeroshot_classification"
+    assert (tmp_path / "dummy_zeroshot_classification_en.json").exists()
+    recs = eval_cli.main([
+        "eval", "--model_config", cfg, "--dataset", "dummy",
+        "--batch_size", "8", "--output", tmpl, "--skip_existing",
+    ])
+    assert recs == []  # matched the resolved-task filename and skipped
