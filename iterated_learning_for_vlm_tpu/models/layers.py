@@ -61,6 +61,11 @@ class MultiheadAttention(nn.Module):
     proj_std: float = 0.02
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    # Fused tiny-seq attention (ops/fused_attention.py): consumes the packed
+    # QKV directly, no head-split transposes, block-diagonal grouped dots.
+    # Wins over XLA attention at the CLIP shapes S=50/77, hd=64 (bench).
+    fused_attn: bool = False
+    fused_attn_group: int = 4
 
     @nn.compact
     def __call__(self, x, bias: Optional[jnp.ndarray] = None, return_weights: bool = False):
@@ -76,6 +81,16 @@ class MultiheadAttention(nn.Module):
             param_dtype=jnp.float32,
             name="in_proj",
         )(x)
+
+        if self.fused_attn and not return_weights and not self.use_flash:
+            from ..ops.fused_attention import fused_tiny_attention
+
+            group = self.fused_attn_group
+            if self.num_heads % group:
+                group = 1
+            out = fused_tiny_attention(qkv, self.num_heads, bias=bias, head_group=group)
+            return self._project_out(out, d), None
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -97,8 +112,14 @@ class MultiheadAttention(nn.Module):
             weights = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum("bhqk,bkhc->bqhc", weights.astype(self.dtype), v)
 
-        out = out.reshape(b, s, d)
-        out = nn.Dense(
+        out = self._project_out(out.reshape(b, s, d), d)
+        if return_weights:
+            # torch MHA returns weights averaged over heads by default.
+            return out, weights.mean(axis=1)
+        return out, None
+
+    def _project_out(self, out, d):
+        return nn.Dense(
             d,
             kernel_init=scaled_normal(self.proj_std),
             bias_init=nn.initializers.zeros,
@@ -106,10 +127,6 @@ class MultiheadAttention(nn.Module):
             param_dtype=jnp.float32,
             name="out_proj",
         )(out)
-        if return_weights:
-            # torch MHA returns weights averaged over heads by default.
-            return out, weights.mean(axis=1)
-        return out, None
 
 
 class MLP(nn.Module):
@@ -150,6 +167,8 @@ class ResidualAttentionBlock(nn.Module):
     causal: bool = False
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    fused_attn: bool = False
+    fused_attn_group: int = 4
     collect_hidden: bool = False
     collect_attn: bool = False
 
@@ -165,6 +184,8 @@ class ResidualAttentionBlock(nn.Module):
             proj_std=self.proj_std,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            fused_attn=self.fused_attn,
+            fused_attn_group=self.fused_attn_group,
             name="attn",
         )(LayerNorm(dtype=self.dtype, name="ln_1")(x), bias=bias,
           return_weights=self.collect_attn)
@@ -195,6 +216,8 @@ class Transformer(nn.Module):
     remat: bool = False
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    fused_attn: bool = False
+    fused_attn_group: int = 4
     # Unroll the layer loop at trace time (params stay stacked [L, ...], so
     # checkpoints are unchanged).  Costs compile time; lets the XLA scheduler
     # specialize/pipeline across layers instead of a while-loop body.
@@ -240,6 +263,8 @@ class Transformer(nn.Module):
             causal=self.causal,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            fused_attn=self.fused_attn,
+            fused_attn_group=self.fused_attn_group,
             collect_hidden=return_hidden_states,
             collect_attn=return_attn_weights,
             name="resblocks",

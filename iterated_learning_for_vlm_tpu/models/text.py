@@ -34,6 +34,8 @@ class TextConfig:
     positional_embedding: bool = True
     remat: bool = False
     use_flash: bool = False
+    fused_attn: bool = False
+    fused_attn_group: int = 4
     unroll: bool = False
 
 
@@ -77,6 +79,8 @@ class TextTransformer(nn.Module):
             unroll=cfg.unroll,
             dtype=self.dtype,
             use_flash=cfg.use_flash,
+            fused_attn=cfg.fused_attn,
+            fused_attn_group=cfg.fused_attn_group,
             name="transformer",
         )(emb, return_attn_weights=return_attn)
         attn = None

@@ -30,6 +30,8 @@ class VisionConfig:
     embed_dim: int = 512
     remat: bool = False
     use_flash: bool = False
+    fused_attn: bool = False
+    fused_attn_group: int = 4
     unroll: bool = False
 
 
@@ -106,6 +108,8 @@ class VisionTransformer(nn.Module):
             unroll=cfg.unroll,
             dtype=self.dtype,
             use_flash=cfg.use_flash,
+            fused_attn=cfg.fused_attn,
+            fused_attn_group=cfg.fused_attn_group,
             name="transformer",
         )(x, return_attn_weights=return_attn)
         attn = None

@@ -1,0 +1,93 @@
+"""Parity of the fused tiny-seq attention kernel against the XLA path.
+
+The kernel (``ops/fused_attention.py``) restructures per-head attention into
+grouped block-diagonal matmuls on the packed QKV layout; these tests pin that
+its forward AND backward match the reference einsum formulation at the CLIP
+tower shapes (image S=50 H=12, text S=77 H=8 causal), for several head-group
+sizes and batch blocks (interpret mode on the CPU mesh).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterated_learning_for_vlm_tpu.models.layers import MultiheadAttention
+from iterated_learning_for_vlm_tpu.ops.fused_attention import fused_tiny_attention
+
+
+def _xla_attention(qkv, heads, bias):
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (t.reshape(b, s, heads, hd) for t in (q, k, v))
+    logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * hd ** -0.5
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhc->bqhc", w.astype(qkv.dtype), v)
+    return out.reshape(b, s, d)
+
+
+def _causal(s):
+    return jnp.triu(jnp.full((s, s), -jnp.inf, dtype=jnp.float32), k=1)
+
+
+@pytest.mark.parametrize("shape,causal,group", [
+    ((6, 50, 12, 64), False, 4),   # image tower shape
+    ((6, 50, 12, 64), False, 12),  # one dot for all heads
+    ((4, 77, 8, 64), True, 4),     # text tower shape, causal
+    ((4, 77, 8, 64), True, 1),     # per-head dots
+    ((5, 13, 4, 8), False, 2),     # odd batch -> bb fallback
+])
+def test_fused_matches_xla_fwd_and_grad(shape, causal, group):
+    b, s, h, hd = shape
+    d = h * hd
+    key = jax.random.PRNGKey(0)
+    qkv = jax.random.normal(key, (b, s, 3 * d), jnp.float32)
+    bias = _causal(s) if causal else None
+
+    ref = _xla_attention(qkv, h, bias)
+    got = fused_tiny_attention(qkv, h, bias=bias, head_group=group, batch_block=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def loss_fused(x):
+        return jnp.sum(jnp.sin(fused_tiny_attention(
+            x, h, bias=bias, head_group=group, batch_block=4)))
+
+    def loss_ref(x):
+        return jnp.sum(jnp.sin(_xla_attention(x, h, bias)))
+
+    g_got = jax.grad(loss_fused)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_mha_module_fused_flag_same_params_same_output():
+    """fused_attn only changes scheduling: identical param tree, same output."""
+    kw = dict(num_heads=8, attn_std=0.02, proj_std=0.02)
+    m_ref = MultiheadAttention(**kw)
+    m_fused = MultiheadAttention(**kw, fused_attn=True, fused_attn_group=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 77, 512), jnp.float32)
+    bias = _causal(77)
+    p = m_ref.init(jax.random.PRNGKey(2), x, bias=bias)["params"]
+    assert jax.tree.structure(p) == jax.tree.structure(
+        m_fused.init(jax.random.PRNGKey(2), x, bias=bias)["params"])
+    a, _ = m_ref.apply({"params": p}, x, bias=bias)
+    b_, _ = m_fused.apply({"params": p}, x, bias=bias)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5, rtol=2e-5)
+
+
+def test_mha_fused_bf16_close_to_fp32_reference():
+    """bf16 compute under the fused kernel stays within bf16 tolerance."""
+    m32 = MultiheadAttention(num_heads=12, dtype=jnp.float32)
+    mbf = MultiheadAttention(num_heads=12, dtype=jnp.bfloat16,
+                             fused_attn=True, fused_attn_group=4)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 50, 768), jnp.float32)
+    p = m32.init(jax.random.PRNGKey(4), x)["params"]
+    a, _ = m32.apply({"params": p}, x)
+    b_, _ = mbf.apply({"params": p}, x.astype(jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_, dtype=np.float32),
+                               atol=5e-2, rtol=5e-2)
