@@ -47,7 +47,8 @@ REF_A100_PAIRS_PER_SEC_PER_CHIP = 850.0
 TARGET_MULTIPLIER = 2.0
 
 
-def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False):
+def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
+              fused_attn: bool = False, fused_attn_group: int = 4):
     return {
         "type": "clip_fdt_vitb32",
         "kwargs": {
@@ -64,14 +65,17 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False):
             "remat": remat,
             "use_flash": flash,
             "unroll": unroll,
+            "fused_attn": fused_attn,
+            "fused_attn_group": fused_attn_group,
         },
     }
 
 
 def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
-         unroll=True):
+         unroll=True, fused_attn=False, fused_attn_group=4):
     n_chips = jax.device_count()
-    model = model_entry(model_cfg(remat, fused, flash, unroll))
+    model = model_entry(model_cfg(remat, fused, flash, unroll, fused_attn,
+                                  fused_attn_group))
 
     rng = np.random.default_rng(0)
     batch = {
@@ -142,10 +146,18 @@ if __name__ == "__main__":
                         "unrolled default is ~16%% faster (1914 vs 1656 "
                         "pairs/s at bs256) because XLA can schedule across "
                         "layer boundaries")
+    p.add_argument("--fused-attn", action="store_true",
+                   help="use the fused tiny-seq attention kernel "
+                        "(ops/fused_attention.py) instead of XLA attention")
+    p.add_argument("--attn-group", type=int, default=4,
+                   help="heads per block-diagonal matmul in the fused "
+                        "attention kernel")
     a = p.parse_args()
     try:
         main(batch_size=a.batch_size, steps=a.steps, remat=a.remat,
-             fused=not a.no_fused, flash=a.flash, unroll=not a.no_unroll)
+             fused=not a.no_fused, flash=a.flash, unroll=not a.no_unroll,
+             fused_attn=a.fused_attn and not a.flash,
+             fused_attn_group=a.attn_group)
     except Exception as e:  # fall back so the driver always gets a line
         msg = str(e)
         if "memory" in msg.lower() or "RESOURCE" in msg:

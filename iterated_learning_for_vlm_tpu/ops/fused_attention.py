@@ -16,19 +16,23 @@ block-diagonal matmuls so the MXU sees real shapes:
 
 - operands stay in the native ``[B, S, 3*D]`` packed-QKV layout the in_proj
   matmul produces (torch ``nn.MultiheadAttention`` packing, reference
-  ``base_transformer.py:33``).  Per sample, the g heads of a group are g
-  CONTIGUOUS column slices, so ``[S, g*hd] -> [S*g, hd]`` is a free row-major
-  reshape — no transpose in HBM or VMEM, forward or backward.
-- scores for a head-group are ONE dense ``[S*g, hd] @ [hd, S*g]`` matmul.
-  Rows are (s, h)-interleaved, so the block-diagonal structure becomes a
-  precomputed additive mask (rows attend only to columns of the same head;
-  the text tower's causal bias folds into the same mask).  The g-fold FLOP
-  waste is deliberate: it converts 5 TF/s bandwidth-bound dots into MXU-rate
-  dots, and attention FLOPs are ~2% of the step.
+  ``base_transformer.py:33``).  The g heads of a group are stacked into a
+  ``[g*S, hd]`` matrix as contiguous ROW BLOCKS via aligned VMEM scratch
+  stores (Mosaic rejects both the lane-splitting ``[S, g*hd] -> [S*g, hd]``
+  shape cast and sublane concatenation; S is padded to a sublane multiple at
+  the XLA edge so every in-kernel store/load is tile-aligned).
+- scores for a head-group are ONE dense ``[g*S, hd] @ [hd, g*S]`` matmul.
+  The block-diagonal structure (a row attends only to columns of its own
+  head) becomes a precomputed additive mask, which also carries the text
+  tower's causal bias and the S-padding column mask.  The g-fold FLOP waste
+  is deliberate: it converts 5 TF/s bandwidth-bound dots into MXU-rate dots,
+  and attention FLOPs are ~2% of the step.
 - softmax runs in fp32 in VMEM; only ``[B, S, D]`` outputs touch HBM.
 - backward recomputes scores/softmax in-kernel (cheap at tiny S) and writes
   ``d(qkv)`` back in the packed layout — the projection's grad consumes it
-  with no formatting either.
+  with no formatting either.  Zero-padded ``dout`` rows make every padded
+  contribution vanish exactly (dv: zero rows; dq/dk: ds rows are 0 because
+  dp rows are 0).
 
 Numerics match the XLA path (fp32 logits/softmax, bf16 value dot) — pinned
 by ``tests/test_fused_attention.py``.
@@ -44,74 +48,106 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
+_SUBLANE = 8
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def build_group_mask(seq: int, group: int, bias: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """Additive fp32 mask [S*g, S*g] for (s, h)-interleaved grouped attention.
+def _pad_seq(s: int) -> int:
+    return -(-s // _SUBLANE) * _SUBLANE
 
-    Row i = (s_i, h_i) with s_i = i // g, h_i = i % g.  Entry (i, j) is 0
-    where h_i == h_j (same head), plus ``bias[s_i, s_j]`` when given (the
-    causal mask of the text tower); cross-head entries get a large negative
-    so they vanish under softmax.  The mask is identical for every head
-    group and every sample — built once under jit and constant-folded.
+
+def build_group_mask(seq: int, group: int, bias: Optional[jnp.ndarray],
+                     valid: Optional[int] = None) -> jnp.ndarray:
+    """Additive fp32 mask [g*S, g*S] for head-major grouped attention rows.
+
+    Row i = (h_i, s_i) with h_i = i // S, s_i = i % S (the kernel stacks the
+    g heads of a group as contiguous row blocks).  Entry (i, j) is 0 where
+    h_i == h_j (same head), plus ``bias[s_i, s_j]`` when given (the causal
+    mask of the text tower); cross-head entries and padded key columns
+    (``s_j >= valid``) get a large negative so they vanish under softmax.
+    The mask is identical for every head group and every sample — built once
+    under jit and constant-folded.
     """
     idx = jnp.arange(seq * group)
-    s, h = idx // group, idx % group
+    s, h = idx % seq, idx // seq
     same_head = h[:, None] == h[None, :]
     m = jnp.where(same_head, 0.0, _NEG).astype(jnp.float32)
     if bias is not None:
-        m = m + bias.astype(jnp.float32)[s[:, None], s[None, :]]
+        b = bias.astype(jnp.float32)
+        if valid is not None and valid < seq:
+            b = jnp.pad(b, ((0, seq - valid), (0, seq - valid)))
+        m = m + b[s[:, None], s[None, :]]
+    if valid is not None and valid < seq:
+        m = jnp.where((s < valid)[None, :], m, _NEG)
     # keep the mask finite (the causal bias arrives as -inf): exp(_NEG - max)
     # underflows to exactly 0 either way, and finite values keep Mosaic's
     # arithmetic NaN-free.
     return jnp.maximum(m, _NEG)
 
 
-def _fwd_kernel(qkv_ref, mask_ref, out_ref, *, heads, group, scale):
-    bb, s, three_d = qkv_ref.shape
+def _stack(ref, scr, b, base, group, sp, hd):
+    """Stack g per-head column slices of sample ``b`` into ``scr`` as
+    [g*Sp, hd] head-major row blocks (tile-aligned VMEM stores), return the
+    stacked matrix.  ``b`` is a traced loop index (dynamic majormost index);
+    head offsets stay static."""
+    for h in range(group):
+        scr[h * sp:(h + 1) * sp, :] = ref[b, :, pl.ds(base + h * hd, hd)]
+    return scr[...]
+
+
+def _fwd_kernel(qkv_ref, mask_ref, out_ref, q_scr, k_scr, v_scr, *,
+                heads, group, scale):
+    bb, sp, three_d = qkv_ref.shape
     d = three_d // 3
     hd = d // heads
     cols = group * hd
-    for b in range(bb):
-        row = qkv_ref[b]  # [S, 3D]
+
+    # the batch loop is a fori_loop (compiled once) — a fully unrolled
+    # bb x G body explodes Mosaic compile time at bb=8.
+    def body(b, _):
         for gi in range(heads // group):
             lo = gi * cols
-            q = row[:, lo:lo + cols].reshape(s * group, hd)
-            k = row[:, d + lo:d + lo + cols].reshape(s * group, hd)
-            v = row[:, 2 * d + lo:2 * d + lo + cols].reshape(s * group, hd)
+            q = _stack(qkv_ref, q_scr, b, lo, group, sp, hd)
+            k = _stack(qkv_ref, k_scr, b, d + lo, group, sp, hd)
+            v = _stack(qkv_ref, v_scr, b, 2 * d + lo, group, sp, hd)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale + mask_ref[...]
             p = jax.nn.softmax(logits, axis=-1)
-            o = jnp.dot(p.astype(row.dtype), v, preferred_element_type=jnp.float32)
-            out_ref[b, :, lo:lo + cols] = o.reshape(s, cols).astype(out_ref.dtype)
+            o = jnp.dot(p.astype(q.dtype), v,
+                        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+            for h in range(group):
+                out_ref[b, :, pl.ds(lo + h * hd, hd)] = o[h * sp:(h + 1) * sp, :]
+        return 0
+
+    jax.lax.fori_loop(0, bb, body, 0)
 
 
-def _bwd_kernel(qkv_ref, mask_ref, dout_ref, dqkv_ref, *, heads, group, scale):
-    bb, s, three_d = qkv_ref.shape
+def _bwd_kernel(qkv_ref, mask_ref, dout_ref, dqkv_ref,
+                q_scr, k_scr, v_scr, do_scr, *, heads, group, scale):
+    bb, sp, three_d = qkv_ref.shape
     d = three_d // 3
     hd = d // heads
     cols = group * hd
-    for b in range(bb):
-        row = qkv_ref[b]
+
+    def body(b, _):
         for gi in range(heads // group):
             lo = gi * cols
-            q = row[:, lo:lo + cols].reshape(s * group, hd)
-            k = row[:, d + lo:d + lo + cols].reshape(s * group, hd)
-            v = row[:, 2 * d + lo:2 * d + lo + cols].reshape(s * group, hd)
-            do = dout_ref[b, :, lo:lo + cols].reshape(s * group, hd)
+            q = _stack(qkv_ref, q_scr, b, lo, group, sp, hd)
+            k = _stack(qkv_ref, k_scr, b, d + lo, group, sp, hd)
+            v = _stack(qkv_ref, v_scr, b, 2 * d + lo, group, sp, hd)
+            do = _stack(dout_ref, do_scr, b, lo, group, sp, hd)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale + mask_ref[...]
             p = jax.nn.softmax(logits, axis=-1)
-            pc = p.astype(row.dtype)
-            # dv = p^T @ do   (masked rows of p are 0 -> no leakage)
+            pc = p.astype(q.dtype)
+            # dv = p^T @ do   (padded dout rows are exactly 0 -> no leakage)
             dv = jax.lax.dot_general(
                 pc, do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -122,16 +158,23 @@ def _bwd_kernel(qkv_ref, mask_ref, dout_ref, dqkv_ref, *, heads, group, scale):
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            dsc = ds.astype(row.dtype)
-            dq = jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(
+            dsc = ds.astype(q.dtype)
+            dt = dqkv_ref.dtype
+            dq = (jnp.dot(dsc, k, preferred_element_type=jnp.float32)
+                  * scale).astype(dt)
+            dk = (jax.lax.dot_general(
                 dsc, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
-            dt = dqkv_ref.dtype
-            dqkv_ref[b, :, lo:lo + cols] = dq.reshape(s, cols).astype(dt)
-            dqkv_ref[b, :, d + lo:d + lo + cols] = dk.reshape(s, cols).astype(dt)
-            dqkv_ref[b, :, 2 * d + lo:2 * d + lo + cols] = dv.reshape(s, cols).astype(dt)
+            ) * scale).astype(dt)
+            dvc = dv.astype(dt)
+            for h in range(group):
+                rows = slice(h * sp, (h + 1) * sp)
+                dqkv_ref[b, :, pl.ds(lo + h * hd, hd)] = dq[rows, :]
+                dqkv_ref[b, :, pl.ds(d + lo + h * hd, hd)] = dk[rows, :]
+                dqkv_ref[b, :, pl.ds(2 * d + lo + h * hd, hd)] = dvc[rows, :]
+        return 0
+
+    jax.lax.fori_loop(0, bb, body, 0)
 
 
 def _pick_bb(b: int, bb: int) -> int:
@@ -140,40 +183,48 @@ def _pick_bb(b: int, bb: int) -> int:
     return max(bb, 1)
 
 
+def _scratch(n, sp, group, hd, dtype):
+    return [pltpu.VMEM((group * sp, hd), dtype) for _ in range(n)]
+
+
 def _fwd(qkv, mask, *, heads, group, bb):
-    b, s, three_d = qkv.shape
+    b, sp, three_d = qkv.shape
     bb = _pick_bb(b, bb)
     d = three_d // 3
-    scale = (d // heads) ** -0.5
+    hd = d // heads
+    scale = hd ** -0.5
     return pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, group=group, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), qkv.dtype),
         grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((bb, s, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, sp, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(mask.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=_scratch(3, sp, group, hd, qkv.dtype),
         interpret=_interpret(),
     )(qkv, mask)
 
 
 def _bwd(qkv, mask, dout, *, heads, group, bb):
-    b, s, three_d = qkv.shape
+    b, sp, three_d = qkv.shape
     bb = _pick_bb(b, bb)
     d = three_d // 3
-    scale = (d // heads) ** -0.5
+    hd = d // heads
+    scale = hd ** -0.5
     return pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, group=group, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, s, three_d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, sp, three_d), qkv.dtype),
         grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((bb, s, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, sp, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(mask.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, s, three_d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bb, sp, three_d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=_scratch(4, sp, group, hd, qkv.dtype),
         interpret=_interpret(),
     )(qkv, mask, dout)
 
@@ -212,7 +263,11 @@ def fused_tiny_attention(
     Returns [B, S, D] in the same layout/dtype the out_proj expects.
     """
     assert heads % head_group == 0, (heads, head_group)
-    _, s, three_d = qkv.shape
+    b, s, three_d = qkv.shape
     assert three_d % (3 * heads) == 0
-    mask = build_group_mask(s, head_group, bias)
-    return _attend(qkv, mask, heads, head_group, batch_block)
+    sp = _pad_seq(s)
+    mask = build_group_mask(sp, head_group, bias, valid=s)
+    if sp != s:
+        qkv = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
+    out = _attend(qkv, mask, heads, head_group, batch_block)
+    return out[:, :s] if sp != s else out
