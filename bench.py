@@ -48,12 +48,17 @@ TARGET_MULTIPLIER = 2.0
 
 
 def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
-              fused_attn: bool = False, fused_attn_group: int = 4):
+              fused_attn: bool = False, fused_attn_group: int = 4,
+              fused_attn_text: bool = None):
+    if fused_attn_text is None:
+        fused_attn_text = fused_attn
     return {
         "type": "clip_fdt_vitb32",
         "kwargs": {
-            "image_encode": {"embed_dim": 512},
-            "text_encode": {"embed_dim": 512},
+            "image_encode": {"embed_dim": 512, "fused_attn": fused_attn,
+                             "fused_attn_group": fused_attn_group},
+            "text_encode": {"embed_dim": 512, "fused_attn": fused_attn_text,
+                            "fused_attn_group": fused_attn_group},
             "fdt": {
                 "sd_temperature": 1000, "att_func_type": "sparsemax",
                 "pool_type": "max", "sd_num": 4096, "sd_dim": 512,
@@ -65,17 +70,15 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
             "remat": remat,
             "use_flash": flash,
             "unroll": unroll,
-            "fused_attn": fused_attn,
-            "fused_attn_group": fused_attn_group,
         },
     }
 
 
 def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
-         unroll=True, fused_attn=False, fused_attn_group=4):
+         unroll=True, fused_attn=False, fused_attn_group=4, fused_attn_text=None):
     n_chips = jax.device_count()
     model = model_entry(model_cfg(remat, fused, flash, unroll, fused_attn,
-                                  fused_attn_group))
+                                  fused_attn_group, fused_attn_text))
 
     rng = np.random.default_rng(0)
     batch = {
@@ -146,9 +149,15 @@ if __name__ == "__main__":
                         "unrolled default is ~16%% faster (1914 vs 1656 "
                         "pairs/s at bs256) because XLA can schedule across "
                         "layer boundaries")
-    p.add_argument("--fused-attn", action="store_true",
-                   help="use the fused tiny-seq attention kernel "
-                        "(ops/fused_attention.py) instead of XLA attention")
+    p.add_argument("--no-fused-attn", action="store_true",
+                   help="disable the fused tiny-seq attention kernel "
+                        "(ops/fused_attention.py) on the VISION tower; the "
+                        "default uses it (1984 vs 1915 pairs/s same-session; "
+                        "microbench -23%% vs XLA attention at S=50). The "
+                        "text tower at S=77 ties XLA and stays on it.")
+    p.add_argument("--fused-attn-text", action="store_true",
+                   help="also use the fused attention kernel for the text "
+                        "tower (ablation; ties XLA at best)")
     p.add_argument("--attn-group", type=int, default=4,
                    help="heads per block-diagonal matmul in the fused "
                         "attention kernel")
@@ -156,8 +165,9 @@ if __name__ == "__main__":
     try:
         main(batch_size=a.batch_size, steps=a.steps, remat=a.remat,
              fused=not a.no_fused, flash=a.flash, unroll=not a.no_unroll,
-             fused_attn=a.fused_attn and not a.flash,
-             fused_attn_group=a.attn_group)
+             fused_attn=not a.no_fused_attn and not a.flash,
+             fused_attn_group=a.attn_group,
+             fused_attn_text=a.fused_attn_text and not a.flash)
     except Exception as e:  # fall back so the driver always gets a line
         msg = str(e)
         if "memory" in msg.lower() or "RESOURCE" in msg:

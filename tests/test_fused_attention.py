@@ -91,3 +91,20 @@ def test_mha_fused_bf16_close_to_fp32_reference():
     b_, _ = mbf.apply({"params": p}, x.astype(jnp.bfloat16))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_, dtype=np.float32),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_model_entry_per_tower_fused_attn_plumbing():
+    """Configs can enable the kernel per tower (vision-only is the shipped
+    perf configuration — text S=77 ties XLA, bench.py --fused-attn)."""
+    from iterated_learning_for_vlm_tpu.models import model_entry
+
+    m = model_entry({"type": "clip_vitb32", "kwargs": {
+        "image_encode": {"fused_attn": True, "fused_attn_group": 4},
+        "fused_attn": False,
+    }})
+    assert m.vision_cfg.fused_attn is True
+    assert m.vision_cfg.fused_attn_group == 4
+    assert m.text_cfg.fused_attn is False
+    # global key reaches both towers when no per-tower override is given
+    m2 = model_entry({"type": "clip_fdt_vitb32", "kwargs": {"fused_attn": True}})
+    assert m2.vision_cfg.fused_attn is True and m2.text_cfg.fused_attn is True
