@@ -108,3 +108,26 @@ def test_model_entry_per_tower_fused_attn_plumbing():
     # global key reaches both towers when no per-tower override is given
     m2 = model_entry({"type": "clip_fdt_vitb32", "kwargs": {"fused_attn": True}})
     assert m2.vision_cfg.fused_attn is True and m2.text_cfg.fused_attn is True
+
+
+def test_fused_attention_under_dp_sharded_jit():
+    """The kernel must run inside a jit whose inputs are batch-sharded over
+    the data mesh (the solver's step layout): values AND grads must match
+    the unsharded XLA reference."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    h, s, d = 4, 13, 32 * 4
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (16, s, 3 * d), jnp.float32)
+    shardings = NamedSharding(mesh, P("data"))
+    qkv_sharded = jax.device_put(qkv, shardings)
+
+    def loss(x):
+        return jnp.sum(jnp.sin(fused_tiny_attention(x, h, head_group=2,
+                                                    batch_block=2)))
+
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(_xla_attention(x, h, None))))(qkv)
+    with mesh:
+        g = jax.jit(jax.grad(loss), in_shardings=shardings)(qkv_sharded)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-5, rtol=5e-5)
