@@ -49,7 +49,7 @@ TARGET_MULTIPLIER = 2.0
 
 def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
               fused_attn: bool = False, fused_attn_group: int = 4,
-              fused_attn_text: bool = None):
+              fused_attn_text: bool = None, fused_attn_text_group: int = 2):
     if fused_attn_text is None:
         fused_attn_text = fused_attn
     return {
@@ -58,7 +58,7 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
             "image_encode": {"embed_dim": 512, "fused_attn": fused_attn,
                              "fused_attn_group": fused_attn_group},
             "text_encode": {"embed_dim": 512, "fused_attn": fused_attn_text,
-                            "fused_attn_group": fused_attn_group},
+                            "fused_attn_group": fused_attn_text_group},
             "fdt": {
                 "sd_temperature": 1000, "att_func_type": "sparsemax",
                 "pool_type": "max", "sd_num": 4096, "sd_dim": 512,
@@ -75,10 +75,12 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
 
 
 def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
-         unroll=True, fused_attn=False, fused_attn_group=4, fused_attn_text=None):
+         unroll=True, fused_attn=False, fused_attn_group=4, fused_attn_text=None,
+         fused_attn_text_group=2):
     n_chips = jax.device_count()
     model = model_entry(model_cfg(remat, fused, flash, unroll, fused_attn,
-                                  fused_attn_group, fused_attn_text))
+                                  fused_attn_group, fused_attn_text,
+                                  fused_attn_text_group))
 
     rng = np.random.default_rng(0)
     batch = {
@@ -160,14 +162,19 @@ if __name__ == "__main__":
                         "tower (ablation; ties XLA at best)")
     p.add_argument("--attn-group", type=int, default=4,
                    help="heads per block-diagonal matmul in the fused "
-                        "attention kernel")
+                        "attention kernel (vision tower, 12 heads)")
+    p.add_argument("--attn-group-text", type=int, default=2,
+                   help="heads per block-diagonal matmul for the TEXT tower "
+                        "(8 heads, S=77->80): smaller groups cut the g-fold "
+                        "FLOP waste of the block-diagonal formulation")
     a = p.parse_args()
     try:
         main(batch_size=a.batch_size, steps=a.steps, remat=a.remat,
              fused=not a.no_fused, flash=a.flash, unroll=not a.no_unroll,
              fused_attn=not a.no_fused_attn and not a.flash,
              fused_attn_group=a.attn_group,
-             fused_attn_text=a.fused_attn_text and not a.flash)
+             fused_attn_text=a.fused_attn_text and not a.flash,
+             fused_attn_text_group=a.attn_group_text)
     except Exception as e:  # fall back so the driver always gets a line
         msg = str(e)
         if "memory" in msg.lower() or "RESOURCE" in msg:
