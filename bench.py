@@ -75,7 +75,7 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
 
 
 def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
-         unroll=True, fused_attn=False, fused_attn_group=4, fused_attn_text=None,
+         unroll=True, fused_attn=True, fused_attn_group=4, fused_attn_text=False,
          fused_attn_text_group=2):
     n_chips = jax.device_count()
     model = model_entry(model_cfg(remat, fused, flash, unroll, fused_attn,

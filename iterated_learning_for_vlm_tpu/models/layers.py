@@ -82,12 +82,17 @@ class MultiheadAttention(nn.Module):
             name="in_proj",
         )(x)
 
-        if self.fused_attn and not return_weights and not self.use_flash:
+        # The fused kernel is a TINY-seq specialization: whole [bb, Sp, 3D]
+        # blocks + the [g*Sp, g*Sp] group mask live in VMEM.  Past S ~128
+        # (ViT-B/16 S=197, L/14 S=257) the blocks outgrow VMEM, so larger
+        # towers silently stay on the XLA path even with fused_attn=true.
+        if (self.fused_attn and not return_weights and not self.use_flash
+                and s <= 128):
             from ..ops.fused_attention import fused_tiny_attention
 
-            group = self.fused_attn_group
-            if self.num_heads % group:
-                group = 1
+            group = max(1, min(self.fused_attn_group, self.num_heads))
+            while self.num_heads % group:
+                group -= 1  # largest divisor <= requested, never silently 1
             out = fused_tiny_attention(qkv, self.num_heads, bias=bias, head_group=group)
             return self._project_out(out, d), None
 

@@ -240,22 +240,57 @@ def _drop_arg(kernel, pos):
     return wrapped
 
 
+# -- SPMD rules (ops/partitioning.py): under a dp-sharded jit each device
+# runs the kernels on its batch shard (codebook + temperature replicated);
+# the codebook gradient is a cross-batch reduction, psum-ed by the rule.
+# Without these the partitioner would replicate the opaque Mosaic calls,
+# all-gathering the global batch onto every chip.
+def _fwd_sharded(q, sd, keep, temperature):
+    from .partitioning import batch_partitioned
+
+    temp = jnp.asarray(temperature, jnp.float32)
+    if keep is None:
+        return batch_partitioned(
+            lambda q_, sd_, t_: _pooled_fwd(q_, sd_, None, t_),
+            batch_args=(0,),
+        )(q, sd, temp)
+    return batch_partitioned(
+        lambda q_, sd_, k_, t_: _pooled_fwd(q_, sd_, k_, t_),
+        batch_args=(0, 2),
+    )(q, sd, keep, temp)
+
+
+def _bwd_sharded(q, sd, keep, temperature, amax, dpooled):
+    from .partitioning import batch_partitioned
+
+    temp = jnp.asarray(temperature, jnp.float32)
+    if keep is None:
+        return batch_partitioned(
+            lambda q_, sd_, t_, a_, g_: _pooled_bwd(q_, sd_, None, t_, a_, g_),
+            batch_args=(0, 3, 4), reduced_outs=(1,),
+        )(q, sd, temp, amax, dpooled)
+    return batch_partitioned(
+        lambda q_, sd_, k_, t_, a_, g_: _pooled_bwd(q_, sd_, k_, t_, a_, g_),
+        batch_args=(0, 2, 4, 5), reduced_outs=(1,),
+    )(q, sd, keep, temp, amax, dpooled)
+
+
 # -- custom-vjp pooled op ----------------------------------------------------
 @jax.custom_vjp
 def pooled_codebook_logits(q, sd, keep, temperature):
     """max_t of masked scaled codebook inner products; [B, N] fp32."""
-    pooled, _ = _pooled_fwd(q, sd, keep, temperature)
+    pooled, _ = _fwd_sharded(q, sd, keep, temperature)
     return pooled
 
 
 def _pcl_fwd(q, sd, keep, temperature):
-    pooled, amax = _pooled_fwd(q, sd, keep, temperature)
+    pooled, amax = _fwd_sharded(q, sd, keep, temperature)
     return pooled, (q, sd, keep, temperature, amax)
 
 
 def _pcl_bwd(res, g):
     q, sd, keep, temperature, amax = res
-    dq, dsd = _pooled_bwd(q, sd, keep, temperature, amax, g.astype(jnp.float32))
+    dq, dsd = _bwd_sharded(q, sd, keep, temperature, amax, g.astype(jnp.float32))
     return dq, dsd, None, None
 
 

@@ -187,7 +187,7 @@ def _scratch(n, sp, group, hd, dtype):
     return [pltpu.VMEM((group * sp, hd), dtype) for _ in range(n)]
 
 
-def _fwd(qkv, mask, *, heads, group, bb):
+def _fwd_local(qkv, mask, *, heads, group, bb):
     b, sp, three_d = qkv.shape
     bb = _pick_bb(b, bb)
     d = three_d // 3
@@ -207,7 +207,7 @@ def _fwd(qkv, mask, *, heads, group, bb):
     )(qkv, mask)
 
 
-def _bwd(qkv, mask, dout, *, heads, group, bb):
+def _bwd_local(qkv, mask, dout, *, heads, group, bb):
     b, sp, three_d = qkv.shape
     bb = _pick_bb(b, bb)
     d = three_d // 3
@@ -227,6 +227,26 @@ def _bwd(qkv, mask, dout, *, heads, group, bb):
         scratch_shapes=_scratch(4, sp, group, hd, qkv.dtype),
         interpret=_interpret(),
     )(qkv, mask, dout)
+
+
+def _fwd(qkv, mask, *, heads, group, bb):
+    """Shard-local forward with the batch-data-parallel SPMD rule: under a
+    dp-sharded jit each device runs the kernel on its own batch shard (the
+    mask is replicated) instead of the partitioner replicating the opaque
+    Mosaic call — see ``ops/partitioning.py``."""
+    from .partitioning import batch_partitioned
+
+    # plain positional wrapper: custom_partitioning resolves the callee
+    # signature and rejects functools.partial keyword binding
+    inner = lambda q_, m_: _fwd_local(q_, m_, heads=heads, group=group, bb=bb)  # noqa: E731
+    return batch_partitioned(inner, batch_args=(0,))(qkv, mask)
+
+
+def _bwd(qkv, mask, dout, *, heads, group, bb):
+    from .partitioning import batch_partitioned
+
+    inner = lambda q_, m_, d_: _bwd_local(q_, m_, d_, heads=heads, group=group, bb=bb)  # noqa: E731
+    return batch_partitioned(inner, batch_args=(0, 2))(qkv, mask, dout)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -257,14 +277,23 @@ def fused_tiny_attention(
     """Multi-head self-attention on packed QKV for tiny sequence lengths.
 
     qkv: [B, S, 3*D] packed projections (q | k | v along the last axis,
-    torch in_proj column order); bias: optional [S, S] additive logits bias
-    (the causal mask); head_group: heads fused per block-diagonal matmul
-    (must divide ``heads``); batch_block: samples per kernel program.
+    torch in_proj column order); bias: optional [S, S] additive logits bias —
+    it must be a CONSTANT (the causal mask): the custom VJP does not
+    propagate a bias gradient (``stop_gradient`` below makes that explicit),
+    so a *learned* bias must use the XLA attention path instead.
+    head_group: heads fused per block-diagonal matmul (must divide
+    ``heads``); batch_block: samples per kernel program.
     Returns [B, S, D] in the same layout/dtype the out_proj expects.
+
+    Tiny-S only: the whole [bb, Sp, 3D] block plus the [g*Sp, g*Sp] mask
+    must fit VMEM; callers should fall back to XLA attention for padded
+    S > ~128 (``models/layers.py`` enforces this for the towers).
     """
     assert heads % head_group == 0, (heads, head_group)
     b, s, three_d = qkv.shape
     assert three_d % (3 * heads) == 0
+    if bias is not None:
+        bias = jax.lax.stop_gradient(bias)
     sp = _pad_seq(s)
     mask = build_group_mask(sp, head_group, bias, valid=s)
     if sp != s:
