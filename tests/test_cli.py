@@ -122,16 +122,24 @@ def test_cli_clf_roundtrip_custom_names_skip_existing(tmp_path, monkeypatch):
 
 
 def test_sd_temperature_override(tmp_path):
-    """--sd_temperature rebuilds the FDT model at the decayed eval T."""
+    """--sd_temperature rebuilds the FDT model at the decayed eval T.
+
+    Uses a tiny registered FDT type (full B/32 towers cost ~20 s of CPU init
+    for a test that only checks config plumbing); the YAML -> model_entry ->
+    init -> encoder path is identical."""
     import yaml as _yaml
 
     from iterated_learning_for_vlm_tpu.eval.model_loader import load_eval_encoder
+    from iterated_learning_for_vlm_tpu.models import CLIPFDT, FDTConfig
 
-    cfg = {"model": {"type": "clip_fdt_vitb32", "kwargs": {
-        "image_encode": {"embed_dim": 16},
-        "text_encode": {"embed_dim": 16},
-        "fdt": {"sd_num": 8, "sd_dim": 16, "raw_img_ft_dim": 768,
-                "raw_txt_ft_dim": 512, "sd_temperature": 1000,
+    register_model(
+        "clip_fdt_tiny_cli",
+        lambda **kw: CLIPFDT(vision_cfg=V, text_cfg=T,
+                             fdt_cfg=FDTConfig(**kw.get("fdt", {}))),
+    )
+    cfg = {"model": {"type": "clip_fdt_tiny_cli", "kwargs": {
+        "fdt": {"sd_num": 8, "sd_dim": 16, "raw_img_ft_dim": 32,
+                "raw_txt_ft_dim": 32, "sd_temperature": 1000,
                 "att_func_type": "sparsemax", "pool_type": "max"},
     }}}
     p = tmp_path / "fdt.yaml"

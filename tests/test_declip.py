@@ -12,7 +12,7 @@ V = VisionConfig(input_resolution=16, patch_size=8, width=32, layers=1, heads=2,
                  embed_dim=16)
 T = TextConfig(context_length=12, vocab_size=128, width=32, heads=2, layers=1,
                embed_dim=16)
-F = FDTConfig(sd_num=32, sd_dim=1024, raw_img_ft_dim=32, raw_txt_ft_dim=32,
+F = FDTConfig(sd_num=32, sd_dim=64, raw_img_ft_dim=32, raw_txt_ft_dim=32,
               sd_temperature=10.0)
 
 
@@ -29,10 +29,10 @@ def test_declip_fdt_forward_and_losses():
     variables = model.init(jax.random.PRNGKey(0), v1, v2, tokens, pm, train=True)
     out, mutated = model.apply(variables, v1, v2, tokens, pm, train=True,
                                mutable=["batch_stats"])
-    assert out["image_embed"].shape == (4, 1024)
-    assert out["text_embed"].shape == (4, 1024)
+    assert out["image_embed"].shape == (4, 64)
+    assert out["text_embed"].shape == (4, 64)
     p1, z1, p2, z2 = out["simsiam"]
-    assert p1.shape == (4, 1024) and z2.shape == (4, 1024)
+    assert p1.shape == (4, 1024) and z2.shape == (4, 1024)  # SimSiam heads are fixed 1024 (reference dims)
     assert out["mlm_logits"].shape == (4, 12, 128)
     assert "batch_stats" in mutated
 

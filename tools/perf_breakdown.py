@@ -44,7 +44,8 @@ def timed(fn, *args, steps=20, warmup=2, fence=None):
 
 def main(batch_size=256, only=None):
     model = model_entry(model_cfg(remat=False, fused=True, flash=False,
-                                  unroll=True))  # the shipping bench config
+                                  unroll=True, fused_attn=True,
+                                  fused_attn_text=False))  # the shipping bench config
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(rng.standard_normal((batch_size, 224, 224, 3), dtype=np.float32)),
