@@ -48,15 +48,17 @@ TARGET_MULTIPLIER = 2.0
 
 
 def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
-              fused_attn: bool = False, fused_attn_group: int = 4,
-              fused_attn_text: bool = None, fused_attn_text_group: int = 2):
+              fused_attn: bool = False, fused_attn_group: int = 2,
+              fused_attn_text: bool = None, fused_attn_text_group: int = 2,
+              fused_attn_sample_group: int = 2):
     if fused_attn_text is None:
         fused_attn_text = fused_attn
     return {
         "type": "clip_fdt_vitb32",
         "kwargs": {
             "image_encode": {"embed_dim": 512, "fused_attn": fused_attn,
-                             "fused_attn_group": fused_attn_group},
+                             "fused_attn_group": fused_attn_group,
+                             "fused_attn_sample_group": fused_attn_sample_group},
             "text_encode": {"embed_dim": 512, "fused_attn": fused_attn_text,
                             "fused_attn_group": fused_attn_text_group},
             "fdt": {
@@ -75,12 +77,12 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
 
 
 def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
-         unroll=True, fused_attn=True, fused_attn_group=4, fused_attn_text=False,
-         fused_attn_text_group=2):
+         unroll=True, fused_attn=True, fused_attn_group=2, fused_attn_text=False,
+         fused_attn_text_group=2, fused_attn_sample_group=2):
     n_chips = jax.device_count()
     model = model_entry(model_cfg(remat, fused, flash, unroll, fused_attn,
                                   fused_attn_group, fused_attn_text,
-                                  fused_attn_text_group))
+                                  fused_attn_text_group, fused_attn_sample_group))
 
     rng = np.random.default_rng(0)
     batch = {
@@ -160,9 +162,14 @@ if __name__ == "__main__":
     p.add_argument("--fused-attn-text", action="store_true",
                    help="also use the fused attention kernel for the text "
                         "tower (ablation; ties XLA at best)")
-    p.add_argument("--attn-group", type=int, default=4,
+    p.add_argument("--attn-group", type=int, default=2,
                    help="heads per block-diagonal matmul in the fused "
-                        "attention kernel (vision tower, 12 heads)")
+                        "attention kernel (vision tower, 12 heads); the "
+                        "on-chip sweep picked g=2 x sg=2 (round 2.1)")
+    p.add_argument("--attn-sample-group", type=int, default=2,
+                   help="samples fused into the same block-diagonal matmul "
+                        "(vision tower); amortizes the overhead-bound kernel "
+                        "body at tiny S")
     p.add_argument("--attn-group-text", type=int, default=2,
                    help="heads per block-diagonal matmul for the TEXT tower "
                         "(8 heads, S=77->80): smaller groups cut the g-fold "
@@ -174,7 +181,8 @@ if __name__ == "__main__":
              fused_attn=not a.no_fused_attn and not a.flash,
              fused_attn_group=a.attn_group,
              fused_attn_text=a.fused_attn_text and not a.flash,
-             fused_attn_text_group=a.attn_group_text)
+             fused_attn_text_group=a.attn_group_text,
+             fused_attn_sample_group=a.attn_sample_group)
     except Exception as e:  # fall back so the driver always gets a line
         msg = str(e)
         if "memory" in msg.lower() or "RESOURCE" in msg:

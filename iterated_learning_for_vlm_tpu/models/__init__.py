@@ -38,12 +38,14 @@ def _common(kwargs: Mapping[str, Any]):
     use_flash = bool(kwargs.get("use_flash", False))
     fused_attn = bool(kwargs.get("fused_attn", False))
     fused_attn_group = int(kwargs.get("fused_attn_group", 4))
+    fused_attn_sample_group = int(kwargs.get("fused_attn_sample_group", 2))
     unroll = bool(kwargs.get("unroll", False))
     for kw in (img_kw, txt_kw):
         kw.setdefault("remat", remat)
         kw.setdefault("use_flash", use_flash)
         kw.setdefault("fused_attn", fused_attn)
         kw.setdefault("fused_attn_group", fused_attn_group)
+        kw.setdefault("fused_attn_sample_group", fused_attn_sample_group)
         kw.setdefault("unroll", unroll)
     return img_kw, txt_kw, dtype
 

@@ -66,6 +66,10 @@ class MultiheadAttention(nn.Module):
     # Wins over XLA attention at the CLIP shapes S=50/77, hd=64 (bench).
     fused_attn: bool = False
     fused_attn_group: int = 4
+    # samples fused into the same block-diagonal matmul (kernel body is
+    # overhead-bound at tiny S; swept on-chip: vision g=2 x sg=2 beats the
+    # round-2 g=4 x sg=1 by ~14% per layer fwd+bwd)
+    fused_attn_sample_group: int = 2
 
     @nn.compact
     def __call__(self, x, bias: Optional[jnp.ndarray] = None, return_weights: bool = False):
@@ -93,7 +97,9 @@ class MultiheadAttention(nn.Module):
             group = max(1, min(self.fused_attn_group, self.num_heads))
             while self.num_heads % group:
                 group -= 1  # largest divisor <= requested, never silently 1
-            out = fused_tiny_attention(qkv, self.num_heads, bias=bias, head_group=group)
+            out = fused_tiny_attention(qkv, self.num_heads, bias=bias,
+                                       head_group=group,
+                                       sample_group=self.fused_attn_sample_group)
             return self._project_out(out, d), None
 
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -174,6 +180,7 @@ class ResidualAttentionBlock(nn.Module):
     use_flash: bool = False
     fused_attn: bool = False
     fused_attn_group: int = 4
+    fused_attn_sample_group: int = 2
     collect_hidden: bool = False
     collect_attn: bool = False
 
@@ -191,6 +198,7 @@ class ResidualAttentionBlock(nn.Module):
             use_flash=self.use_flash,
             fused_attn=self.fused_attn,
             fused_attn_group=self.fused_attn_group,
+            fused_attn_sample_group=self.fused_attn_sample_group,
             name="attn",
         )(LayerNorm(dtype=self.dtype, name="ln_1")(x), bias=bias,
           return_weights=self.collect_attn)
@@ -223,6 +231,7 @@ class Transformer(nn.Module):
     use_flash: bool = False
     fused_attn: bool = False
     fused_attn_group: int = 4
+    fused_attn_sample_group: int = 2
     # Unroll the layer loop at trace time (params stay stacked [L, ...], so
     # checkpoints are unchanged).  Costs compile time; lets the XLA scheduler
     # specialize/pipeline across layers instead of a while-loop body.
@@ -270,6 +279,7 @@ class Transformer(nn.Module):
             use_flash=self.use_flash,
             fused_attn=self.fused_attn,
             fused_attn_group=self.fused_attn_group,
+            fused_attn_sample_group=self.fused_attn_sample_group,
             collect_hidden=return_hidden_states,
             collect_attn=return_attn_weights,
             name="resblocks",

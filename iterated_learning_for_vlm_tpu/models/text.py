@@ -36,6 +36,7 @@ class TextConfig:
     use_flash: bool = False
     fused_attn: bool = False
     fused_attn_group: int = 4
+    fused_attn_sample_group: int = 2
     unroll: bool = False
 
 
@@ -81,6 +82,7 @@ class TextTransformer(nn.Module):
             use_flash=cfg.use_flash,
             fused_attn=cfg.fused_attn,
             fused_attn_group=cfg.fused_attn_group,
+            fused_attn_sample_group=cfg.fused_attn_sample_group,
             name="transformer",
         )(emb, return_attn_weights=return_attn)
         attn = None

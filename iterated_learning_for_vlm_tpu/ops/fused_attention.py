@@ -74,12 +74,17 @@ def build_group_mask(seq: int, group: int, bias: Optional[jnp.ndarray],
     idx = jnp.arange(seq * group)
     s, h = idx % seq, idx // seq
     same_head = h[:, None] == h[None, :]
-    m = jnp.where(same_head, 0.0, _NEG).astype(jnp.float32)
     if bias is not None:
         b = bias.astype(jnp.float32)
         if valid is not None and valid < seq:
             b = jnp.pad(b, ((0, seq - valid), (0, seq - valid)))
-        m = m + b[s[:, None], s[None, :]]
+        # b[s_i, s_j] as a tile, NOT a gather: XLA:CPU miscompiles the fused
+        # iota-derived double gather + where + maximum at some shapes (seen at
+        # seq=16: jit and eager disagree; returning intermediates hides it).
+        tiled = jnp.tile(b, (group, group))
+        m = jnp.where(same_head, tiled, _NEG)
+    else:
+        m = jnp.where(same_head, 0.0, _NEG).astype(jnp.float32)
     if valid is not None and valid < seq:
         m = jnp.where((s < valid)[None, :], m, _NEG)
     # keep the mask finite (the causal bias arrives as -inf): exp(_NEG - max)
@@ -88,31 +93,36 @@ def build_group_mask(seq: int, group: int, bias: Optional[jnp.ndarray],
     return jnp.maximum(m, _NEG)
 
 
-def _stack(ref, scr, b, base, group, sp, hd):
-    """Stack g per-head column slices of sample ``b`` into ``scr`` as
-    [g*Sp, hd] head-major row blocks (tile-aligned VMEM stores), return the
-    stacked matrix.  ``b`` is a traced loop index (dynamic majormost index);
-    head offsets stay static."""
-    for h in range(group):
-        scr[h * sp:(h + 1) * sp, :] = ref[b, :, pl.ds(base + h * hd, hd)]
+def _stack(ref, scr, b, base, group, sp, hd, sample_group=1):
+    """Stack ``sample_group`` consecutive samples x ``group`` per-head column
+    slices into ``scr`` as [sg*g*Sp, hd] (sample, head)-major row blocks
+    (tile-aligned VMEM stores), return the stacked matrix.  ``b`` is a traced
+    loop index (dynamic majormost index); head/sample offsets stay static
+    within the fori body (``b`` advances in steps of ``sample_group``)."""
+    for si in range(sample_group):
+        for h in range(group):
+            blk = si * group + h
+            scr[blk * sp:(blk + 1) * sp, :] = ref[b + si, :, pl.ds(base + h * hd, hd)]
     return scr[...]
 
 
 def _fwd_kernel(qkv_ref, mask_ref, out_ref, q_scr, k_scr, v_scr, *,
-                heads, group, scale):
+                heads, group, scale, sample_group):
     bb, sp, three_d = qkv_ref.shape
     d = three_d // 3
     hd = d // heads
     cols = group * hd
+    sg = sample_group
 
     # the batch loop is a fori_loop (compiled once) — a fully unrolled
     # bb x G body explodes Mosaic compile time at bb=8.
-    def body(b, _):
+    def body(i, _):
+        b = i * sg
         for gi in range(heads // group):
             lo = gi * cols
-            q = _stack(qkv_ref, q_scr, b, lo, group, sp, hd)
-            k = _stack(qkv_ref, k_scr, b, d + lo, group, sp, hd)
-            v = _stack(qkv_ref, v_scr, b, 2 * d + lo, group, sp, hd)
+            q = _stack(qkv_ref, q_scr, b, lo, group, sp, hd, sg)
+            k = _stack(qkv_ref, k_scr, b, d + lo, group, sp, hd, sg)
+            v = _stack(qkv_ref, v_scr, b, 2 * d + lo, group, sp, hd, sg)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -120,27 +130,33 @@ def _fwd_kernel(qkv_ref, mask_ref, out_ref, q_scr, k_scr, v_scr, *,
             p = jax.nn.softmax(logits, axis=-1)
             o = jnp.dot(p.astype(q.dtype), v,
                         preferred_element_type=jnp.float32).astype(out_ref.dtype)
-            for h in range(group):
-                out_ref[b, :, pl.ds(lo + h * hd, hd)] = o[h * sp:(h + 1) * sp, :]
+            for si in range(sg):
+                for h in range(group):
+                    blk = si * group + h
+                    out_ref[b + si, :, pl.ds(lo + h * hd, hd)] = (
+                        o[blk * sp:(blk + 1) * sp, :])
         return 0
 
-    jax.lax.fori_loop(0, bb, body, 0)
+    jax.lax.fori_loop(0, bb // sg, body, 0)
 
 
 def _bwd_kernel(qkv_ref, mask_ref, dout_ref, dqkv_ref,
-                q_scr, k_scr, v_scr, do_scr, *, heads, group, scale):
+                q_scr, k_scr, v_scr, do_scr, *, heads, group, scale,
+                sample_group):
     bb, sp, three_d = qkv_ref.shape
     d = three_d // 3
     hd = d // heads
     cols = group * hd
+    sg = sample_group
 
-    def body(b, _):
+    def body(i, _):
+        b = i * sg
         for gi in range(heads // group):
             lo = gi * cols
-            q = _stack(qkv_ref, q_scr, b, lo, group, sp, hd)
-            k = _stack(qkv_ref, k_scr, b, d + lo, group, sp, hd)
-            v = _stack(qkv_ref, v_scr, b, 2 * d + lo, group, sp, hd)
-            do = _stack(dout_ref, do_scr, b, lo, group, sp, hd)
+            q = _stack(qkv_ref, q_scr, b, lo, group, sp, hd, sg)
+            k = _stack(qkv_ref, k_scr, b, d + lo, group, sp, hd, sg)
+            v = _stack(qkv_ref, v_scr, b, 2 * d + lo, group, sp, hd, sg)
+            do = _stack(dout_ref, do_scr, b, lo, group, sp, hd, sg)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -167,14 +183,15 @@ def _bwd_kernel(qkv_ref, mask_ref, dout_ref, dqkv_ref,
                 preferred_element_type=jnp.float32,
             ) * scale).astype(dt)
             dvc = dv.astype(dt)
-            for h in range(group):
-                rows = slice(h * sp, (h + 1) * sp)
-                dqkv_ref[b, :, pl.ds(lo + h * hd, hd)] = dq[rows, :]
-                dqkv_ref[b, :, pl.ds(d + lo + h * hd, hd)] = dk[rows, :]
-                dqkv_ref[b, :, pl.ds(2 * d + lo + h * hd, hd)] = dvc[rows, :]
+            for si in range(sg):
+                for h in range(group):
+                    rows = slice((si * group + h) * sp, (si * group + h + 1) * sp)
+                    dqkv_ref[b + si, :, pl.ds(lo + h * hd, hd)] = dq[rows, :]
+                    dqkv_ref[b + si, :, pl.ds(d + lo + h * hd, hd)] = dk[rows, :]
+                    dqkv_ref[b + si, :, pl.ds(2 * d + lo + h * hd, hd)] = dvc[rows, :]
         return 0
 
-    jax.lax.fori_loop(0, bb, body, 0)
+    jax.lax.fori_loop(0, bb // sg, body, 0)
 
 
 def _pick_bb(b: int, bb: int) -> int:
@@ -187,14 +204,16 @@ def _scratch(n, sp, group, hd, dtype):
     return [pltpu.VMEM((group * sp, hd), dtype) for _ in range(n)]
 
 
-def _fwd_local(qkv, mask, *, heads, group, bb):
+def _fwd_local(qkv, mask, *, heads, group, bb, sg):
     b, sp, three_d = qkv.shape
     bb = _pick_bb(b, bb)
+    sg = min(sg, bb)
     d = three_d // 3
     hd = d // heads
     scale = hd ** -0.5
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads, group=group, scale=scale),
+        functools.partial(_fwd_kernel, heads=heads, group=group, scale=scale,
+                          sample_group=sg),
         out_shape=jax.ShapeDtypeStruct((b, sp, d), qkv.dtype),
         grid=(b // bb,),
         in_specs=[
@@ -202,19 +221,21 @@ def _fwd_local(qkv, mask, *, heads, group, bb):
             pl.BlockSpec(mask.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=_scratch(3, sp, group, hd, qkv.dtype),
+        scratch_shapes=_scratch(3, sp, group * sg, hd, qkv.dtype),
         interpret=_interpret(),
     )(qkv, mask)
 
 
-def _bwd_local(qkv, mask, dout, *, heads, group, bb):
+def _bwd_local(qkv, mask, dout, *, heads, group, bb, sg):
     b, sp, three_d = qkv.shape
     bb = _pick_bb(b, bb)
+    sg = min(sg, bb)
     d = three_d // 3
     hd = d // heads
     scale = hd ** -0.5
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=heads, group=group, scale=scale),
+        functools.partial(_bwd_kernel, heads=heads, group=group, scale=scale,
+                          sample_group=sg),
         out_shape=jax.ShapeDtypeStruct((b, sp, three_d), qkv.dtype),
         grid=(b // bb,),
         in_specs=[
@@ -224,12 +245,12 @@ def _bwd_local(qkv, mask, dout, *, heads, group, bb):
         ],
         out_specs=pl.BlockSpec((bb, sp, three_d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=_scratch(4, sp, group, hd, qkv.dtype),
+        scratch_shapes=_scratch(4, sp, group * sg, hd, qkv.dtype),
         interpret=_interpret(),
     )(qkv, mask, dout)
 
 
-def _fwd(qkv, mask, *, heads, group, bb):
+def _fwd(qkv, mask, *, heads, group, bb, sg):
     """Shard-local forward with the batch-data-parallel SPMD rule: under a
     dp-sharded jit each device runs the kernel on its own batch shard (the
     mask is replicated) instead of the partitioner replicating the opaque
@@ -238,29 +259,30 @@ def _fwd(qkv, mask, *, heads, group, bb):
 
     # plain positional wrapper: custom_partitioning resolves the callee
     # signature and rejects functools.partial keyword binding
-    inner = lambda q_, m_: _fwd_local(q_, m_, heads=heads, group=group, bb=bb)  # noqa: E731
+    inner = lambda q_, m_: _fwd_local(q_, m_, heads=heads, group=group, bb=bb, sg=sg)  # noqa: E731
     return batch_partitioned(inner, batch_args=(0,))(qkv, mask)
 
 
-def _bwd(qkv, mask, dout, *, heads, group, bb):
+def _bwd(qkv, mask, dout, *, heads, group, bb, sg):
     from .partitioning import batch_partitioned
 
-    inner = lambda q_, m_, d_: _bwd_local(q_, m_, d_, heads=heads, group=group, bb=bb)  # noqa: E731
+    inner = lambda q_, m_, d_: _bwd_local(q_, m_, d_, heads=heads, group=group, bb=bb, sg=sg)  # noqa: E731
     return batch_partitioned(inner, batch_args=(0, 2))(qkv, mask, dout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _attend(qkv, mask, heads, group, bb):
-    return _fwd(qkv, mask, heads=heads, group=group, bb=bb)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _attend(qkv, mask, heads, group, bb, sg):
+    return _fwd(qkv, mask, heads=heads, group=group, bb=bb, sg=sg)
 
 
-def _attend_fwd(qkv, mask, heads, group, bb):
-    return _fwd(qkv, mask, heads=heads, group=group, bb=bb), (qkv, mask)
+def _attend_fwd(qkv, mask, heads, group, bb, sg):
+    return _fwd(qkv, mask, heads=heads, group=group, bb=bb, sg=sg), (qkv, mask)
 
 
-def _attend_bwd(heads, group, bb, res, g):
+def _attend_bwd(heads, group, bb, sg, res, g):
     qkv, mask = res
-    dqkv = _bwd(qkv, mask, g.astype(qkv.dtype), heads=heads, group=group, bb=bb)
+    dqkv = _bwd(qkv, mask, g.astype(qkv.dtype), heads=heads, group=group,
+                bb=bb, sg=sg)
     return dqkv, None
 
 
@@ -273,6 +295,7 @@ def fused_tiny_attention(
     bias: Optional[jnp.ndarray] = None,
     head_group: int = 4,
     batch_block: int = 8,
+    sample_group: int = 1,
 ) -> jnp.ndarray:
     """Multi-head self-attention on packed QKV for tiny sequence lengths.
 
@@ -282,11 +305,17 @@ def fused_tiny_attention(
     propagate a bias gradient (``stop_gradient`` below makes that explicit),
     so a *learned* bias must use the XLA attention path instead.
     head_group: heads fused per block-diagonal matmul (must divide
-    ``heads``); batch_block: samples per kernel program.
+    ``heads``); batch_block: samples per kernel program; sample_group:
+    samples additionally fused into the SAME block-diagonal matmul (the
+    kernel body is overhead-bound at tiny S — ~6 us per [g*Sp] group dot,
+    ~100x the dots' FLOP time — so fusing (sample, head) blocks into
+    [sg*g*Sp, hd] operands amortizes the per-iteration cost at sg-fold
+    extra block-diagonal FLOP waste; the group mask blocks cross-sample
+    attention exactly the way it blocks cross-head attention).
     Returns [B, S, D] in the same layout/dtype the out_proj expects.
 
-    Tiny-S only: the whole [bb, Sp, 3D] block plus the [g*Sp, g*Sp] mask
-    must fit VMEM; callers should fall back to XLA attention for padded
+    Tiny-S only: the whole [bb, Sp, 3D] block plus the [sg*g*Sp, sg*g*Sp]
+    mask must fit VMEM; callers should fall back to XLA attention for padded
     S > ~128 (``models/layers.py`` enforces this for the towers).
     """
     assert heads % head_group == 0, (heads, head_group)
@@ -294,9 +323,13 @@ def fused_tiny_attention(
     assert three_d % (3 * heads) == 0
     if bias is not None:
         bias = jax.lax.stop_gradient(bias)
+    bb = _pick_bb(b, batch_block)
+    sg = max(1, min(sample_group, bb))
+    while bb % sg:
+        sg -= 1  # largest divisor of the batch block <= requested
     sp = _pad_seq(s)
-    mask = build_group_mask(sp, head_group, bias, valid=s)
+    mask = build_group_mask(sp, head_group * sg, bias, valid=s)
     if sp != s:
         qkv = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
-    out = _attend(qkv, mask, heads, head_group, batch_block)
+    out = _attend(qkv, mask, heads, head_group, bb, sg)
     return out[:, :s] if sp != s else out

@@ -131,3 +131,50 @@ def test_fused_attention_under_dp_sharded_jit():
     with mesh:
         g = jax.jit(jax.grad(loss), in_shardings=shardings)(qkv_sharded)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.parametrize("shape,causal,group,sg", [
+    ((8, 50, 12, 64), False, 4, 2),   # image tower + sample fusion
+    ((8, 77, 8, 64), True, 2, 2),     # text tower, causal + sample fusion
+    ((8, 13, 4, 8), False, 2, 4),     # small padded seq, deep sample fusion
+    ((6, 10, 2, 8), True, 2, 3),      # sg falls back to a divisor of bb
+])
+def test_sample_group_matches_xla_fwd_and_grad(shape, causal, group, sg):
+    """``sample_group`` fuses several samples into one block-diagonal matmul
+    (the kernel body is overhead-bound at tiny S); values and grads must be
+    unchanged for every (head_group, sample_group) tiling."""
+    b, s, h, hd = shape
+    d = h * hd
+    qkv = jax.random.normal(jax.random.PRNGKey(5), (b, s, 3 * d), jnp.float32)
+    bias = _causal(s) if causal else None
+
+    ref = _xla_attention(qkv, h, bias)
+    got = jax.jit(lambda x: fused_tiny_attention(
+        x, h, bias=bias, head_group=group, batch_block=8, sample_group=sg))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(_xla_attention(x, h, bias))))(qkv)
+    g_got = jax.jit(jax.grad(lambda x: jnp.sum(jnp.sin(fused_tiny_attention(
+        x, h, bias=bias, head_group=group, batch_block=8, sample_group=sg)))))(qkv)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_group_mask_jit_matches_eager_small_padded_seq():
+    """Regression: XLA:CPU miscompiled the original gather-based
+    ``build_group_mask`` under jit at small padded sequences (seq=16,
+    valid=10): jit and eager disagreed on which causal entries were masked,
+    silently corrupting grouped attention.  The tile-based build must produce
+    identical masks jitted and eager, and the kernel must match XLA at
+    exactly the shape that exposed the bug."""
+    from iterated_learning_for_vlm_tpu.ops.fused_attention import build_group_mask
+
+    bias = _causal(10)
+    eager = build_group_mask(16, 2, bias, valid=10)
+    jitted = jax.jit(lambda b: build_group_mask(16, 2, b, valid=10))(bias)
+    np.testing.assert_array_equal(np.asarray(eager), np.asarray(jitted))
+
+    qkv = jax.random.normal(jax.random.PRNGKey(6), (4, 10, 3 * 2 * 8), jnp.float32)
+    ref = _xla_attention(qkv, 2, bias)
+    got = jax.jit(lambda x: fused_tiny_attention(x, 2, bias=bias, head_group=2))(qkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
