@@ -50,7 +50,8 @@ TARGET_MULTIPLIER = 2.0
 def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
               fused_attn: bool = False, fused_attn_group: int = 2,
               fused_attn_text: bool = None, fused_attn_text_group: int = 2,
-              fused_attn_sample_group: int = 2):
+              fused_attn_sample_group: int = 2,
+              fused_attn_text_sample_group: int = 2):
     if fused_attn_text is None:
         fused_attn_text = fused_attn
     return {
@@ -60,7 +61,8 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
                              "fused_attn_group": fused_attn_group,
                              "fused_attn_sample_group": fused_attn_sample_group},
             "text_encode": {"embed_dim": 512, "fused_attn": fused_attn_text,
-                            "fused_attn_group": fused_attn_text_group},
+                            "fused_attn_group": fused_attn_text_group,
+                            "fused_attn_sample_group": fused_attn_text_sample_group},
             "fdt": {
                 "sd_temperature": 1000, "att_func_type": "sparsemax",
                 "pool_type": "max", "sd_num": 4096, "sd_dim": 512,
@@ -78,11 +80,13 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
 
 def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
          unroll=True, fused_attn=True, fused_attn_group=2, fused_attn_text=False,
-         fused_attn_text_group=2, fused_attn_sample_group=2):
+         fused_attn_text_group=2, fused_attn_sample_group=2,
+         fused_attn_text_sample_group=2):
     n_chips = jax.device_count()
     model = model_entry(model_cfg(remat, fused, flash, unroll, fused_attn,
                                   fused_attn_group, fused_attn_text,
-                                  fused_attn_text_group, fused_attn_sample_group))
+                                  fused_attn_text_group, fused_attn_sample_group,
+                                  fused_attn_text_sample_group))
 
     rng = np.random.default_rng(0)
     batch = {
@@ -174,6 +178,10 @@ if __name__ == "__main__":
                    help="heads per block-diagonal matmul for the TEXT tower "
                         "(8 heads, S=77->80): smaller groups cut the g-fold "
                         "FLOP waste of the block-diagonal formulation")
+    p.add_argument("--attn-sample-group-text", type=int, default=2,
+                   help="samples fused per block-diagonal matmul for the "
+                        "TEXT tower ablation (g=2 x sg=4 measured 1959 vs "
+                        "1976 XLA same-process; text ships on XLA)")
     a = p.parse_args()
     try:
         main(batch_size=a.batch_size, steps=a.steps, remat=a.remat,
@@ -182,7 +190,8 @@ if __name__ == "__main__":
              fused_attn_group=a.attn_group,
              fused_attn_text=a.fused_attn_text and not a.flash,
              fused_attn_text_group=a.attn_group_text,
-             fused_attn_sample_group=a.attn_sample_group)
+             fused_attn_sample_group=a.attn_sample_group,
+             fused_attn_text_sample_group=a.attn_sample_group_text)
     except Exception as e:  # fall back so the driver always gets a line
         msg = str(e)
         if "memory" in msg.lower() or "RESOURCE" in msg:

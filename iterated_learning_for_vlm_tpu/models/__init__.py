@@ -37,7 +37,7 @@ def _common(kwargs: Mapping[str, Any]):
     remat = bool(kwargs.get("remat", False))
     use_flash = bool(kwargs.get("use_flash", False))
     fused_attn = bool(kwargs.get("fused_attn", False))
-    fused_attn_group = int(kwargs.get("fused_attn_group", 4))
+    fused_attn_group = int(kwargs.get("fused_attn_group", 2))
     fused_attn_sample_group = int(kwargs.get("fused_attn_sample_group", 2))
     unroll = bool(kwargs.get("unroll", False))
     for kw in (img_kw, txt_kw):

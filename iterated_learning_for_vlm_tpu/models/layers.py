@@ -65,7 +65,7 @@ class MultiheadAttention(nn.Module):
     # QKV directly, no head-split transposes, block-diagonal grouped dots.
     # Wins over XLA attention at the CLIP shapes S=50/77, hd=64 (bench).
     fused_attn: bool = False
-    fused_attn_group: int = 4
+    fused_attn_group: int = 2
     # samples fused into the same block-diagonal matmul (kernel body is
     # overhead-bound at tiny S; swept on-chip: vision g=2 x sg=2 beats the
     # round-2 g=4 x sg=1 by ~14% per layer fwd+bwd)
@@ -179,7 +179,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     fused_attn: bool = False
-    fused_attn_group: int = 4
+    fused_attn_group: int = 2
     fused_attn_sample_group: int = 2
     collect_hidden: bool = False
     collect_attn: bool = False
@@ -230,7 +230,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     fused_attn: bool = False
-    fused_attn_group: int = 4
+    fused_attn_group: int = 2
     fused_attn_sample_group: int = 2
     # Unroll the layer loop at trace time (params stay stacked [L, ...], so
     # checkpoints are unchanged).  Costs compile time; lets the XLA scheduler

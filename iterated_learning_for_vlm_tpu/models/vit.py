@@ -31,7 +31,7 @@ class VisionConfig:
     remat: bool = False
     use_flash: bool = False
     fused_attn: bool = False
-    fused_attn_group: int = 4
+    fused_attn_group: int = 2
     fused_attn_sample_group: int = 2
     unroll: bool = False
 

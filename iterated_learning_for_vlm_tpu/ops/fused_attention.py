@@ -76,8 +76,8 @@ def build_group_mask(seq: int, group: int, bias: Optional[jnp.ndarray],
     same_head = h[:, None] == h[None, :]
     if bias is not None:
         b = bias.astype(jnp.float32)
-        if valid is not None and valid < seq:
-            b = jnp.pad(b, ((0, seq - valid), (0, seq - valid)))
+        if b.shape[0] != seq:
+            b = jnp.pad(b, ((0, seq - b.shape[0]), (0, seq - b.shape[1])))
         # b[s_i, s_j] as a tile, NOT a gather: XLA:CPU miscompiles the fused
         # iota-derived double gather + where + maximum at some shapes (seen at
         # seq=16: jit and eager disagree; returning intermediates hides it).
@@ -204,10 +204,24 @@ def _scratch(n, sp, group, hd, dtype):
     return [pltpu.VMEM((group * sp, hd), dtype) for _ in range(n)]
 
 
-def _fwd_local(qkv, mask, *, heads, group, bb, sg):
+def _local_tiling(b, batch_block, sample_group):
+    """(bb, sg) for a POSSIBLY SHARD-LOCAL batch: bb halves until it divides
+    b, then sg drops to its largest divisor <= requested.  Under the SPMD rule
+    each device re-derives this from its own shard, so the mask (whose size is
+    g*sg*Sp) must be built from the SAME shard-local sg — which is why the
+    locals below take the [Sp, Sp]-level bias and build the group mask
+    themselves instead of receiving a globally-sized mask operand."""
+    bb = _pick_bb(b, batch_block)
+    sg = max(1, min(sample_group, bb))
+    while bb % sg:
+        sg -= 1
+    return bb, sg
+
+
+def _fwd_local(qkv, bias, *, heads, group, bb, sg, valid):
     b, sp, three_d = qkv.shape
-    bb = _pick_bb(b, bb)
-    sg = min(sg, bb)
+    bb, sg = _local_tiling(b, bb, sg)
+    mask = build_group_mask(sp, group * sg, bias, valid=valid)
     d = three_d // 3
     hd = d // heads
     scale = hd ** -0.5
@@ -226,10 +240,10 @@ def _fwd_local(qkv, mask, *, heads, group, bb, sg):
     )(qkv, mask)
 
 
-def _bwd_local(qkv, mask, dout, *, heads, group, bb, sg):
+def _bwd_local(qkv, bias, dout, *, heads, group, bb, sg, valid):
     b, sp, three_d = qkv.shape
-    bb = _pick_bb(b, bb)
-    sg = min(sg, bb)
+    bb, sg = _local_tiling(b, bb, sg)
+    mask = build_group_mask(sp, group * sg, bias, valid=valid)
     d = three_d // 3
     hd = d // heads
     scale = hd ** -0.5
@@ -250,39 +264,43 @@ def _bwd_local(qkv, mask, dout, *, heads, group, bb, sg):
     )(qkv, mask, dout)
 
 
-def _fwd(qkv, mask, *, heads, group, bb, sg):
+def _fwd(qkv, bias, *, heads, group, bb, sg, valid):
     """Shard-local forward with the batch-data-parallel SPMD rule: under a
     dp-sharded jit each device runs the kernel on its own batch shard (the
-    mask is replicated) instead of the partitioner replicating the opaque
-    Mosaic call — see ``ops/partitioning.py``."""
+    [Sp, Sp] bias is replicated) instead of the partitioner replicating the
+    opaque Mosaic call — see ``ops/partitioning.py``.  The group mask is
+    built INSIDE the shard-local call: each shard re-derives (bb, sg) from
+    its own batch (``_local_tiling``), so the mask size must follow the
+    shard-local sg, not the global one."""
     from .partitioning import batch_partitioned
 
     # plain positional wrapper: custom_partitioning resolves the callee
     # signature and rejects functools.partial keyword binding
-    inner = lambda q_, m_: _fwd_local(q_, m_, heads=heads, group=group, bb=bb, sg=sg)  # noqa: E731
-    return batch_partitioned(inner, batch_args=(0,))(qkv, mask)
+    inner = lambda q_, b_: _fwd_local(q_, b_, heads=heads, group=group, bb=bb, sg=sg, valid=valid)  # noqa: E731
+    return batch_partitioned(inner, batch_args=(0,))(qkv, bias)
 
 
-def _bwd(qkv, mask, dout, *, heads, group, bb, sg):
+def _bwd(qkv, bias, dout, *, heads, group, bb, sg, valid):
     from .partitioning import batch_partitioned
 
-    inner = lambda q_, m_, d_: _bwd_local(q_, m_, d_, heads=heads, group=group, bb=bb, sg=sg)  # noqa: E731
-    return batch_partitioned(inner, batch_args=(0, 2))(qkv, mask, dout)
+    inner = lambda q_, b_, d_: _bwd_local(q_, b_, d_, heads=heads, group=group, bb=bb, sg=sg, valid=valid)  # noqa: E731
+    return batch_partitioned(inner, batch_args=(0, 2))(qkv, bias, dout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _attend(qkv, mask, heads, group, bb, sg):
-    return _fwd(qkv, mask, heads=heads, group=group, bb=bb, sg=sg)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _attend(qkv, bias, heads, group, bb, sg, valid):
+    return _fwd(qkv, bias, heads=heads, group=group, bb=bb, sg=sg, valid=valid)
 
 
-def _attend_fwd(qkv, mask, heads, group, bb, sg):
-    return _fwd(qkv, mask, heads=heads, group=group, bb=bb, sg=sg), (qkv, mask)
+def _attend_fwd(qkv, bias, heads, group, bb, sg, valid):
+    return (_fwd(qkv, bias, heads=heads, group=group, bb=bb, sg=sg, valid=valid),
+            (qkv, bias))
 
 
-def _attend_bwd(heads, group, bb, sg, res, g):
-    qkv, mask = res
-    dqkv = _bwd(qkv, mask, g.astype(qkv.dtype), heads=heads, group=group,
-                bb=bb, sg=sg)
+def _attend_bwd(heads, group, bb, sg, valid, res, g):
+    qkv, bias = res
+    dqkv = _bwd(qkv, bias, g.astype(qkv.dtype), heads=heads, group=group,
+                bb=bb, sg=sg, valid=valid)
     return dqkv, None
 
 
@@ -321,15 +339,19 @@ def fused_tiny_attention(
     assert heads % head_group == 0, (heads, head_group)
     b, s, three_d = qkv.shape
     assert three_d % (3 * heads) == 0
-    if bias is not None:
-        bias = jax.lax.stop_gradient(bias)
-    bb = _pick_bb(b, batch_block)
-    sg = max(1, min(sample_group, bb))
-    while bb % sg:
-        sg -= 1  # largest divisor of the batch block <= requested
     sp = _pad_seq(s)
-    mask = build_group_mask(sp, head_group * sg, bias, valid=s)
+    # the bias crosses the SPMD boundary as a replicated [Sp, Sp] operand
+    # (zeros when absent); each shard builds its own group mask from it at
+    # the shard-local (bb, sg) tiling — see _fwd.
+    if bias is None:
+        bias_sp = jnp.zeros((sp, sp), jnp.float32)
+    else:
+        bias_sp = jax.lax.stop_gradient(bias).astype(jnp.float32)
+        if bias_sp.shape[0] != sp:
+            bias_sp = jnp.pad(bias_sp, ((0, sp - bias_sp.shape[0]),
+                                        (0, sp - bias_sp.shape[1])))
     if sp != s:
         qkv = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
-    out = _attend(qkv, mask, heads, head_group, bb, sg)
+    out = _attend(qkv, bias_sp, heads, head_group, batch_block,
+                  max(1, sample_group), s)
     return out[:, :s] if sp != s else out

@@ -115,3 +115,36 @@ def test_fused_attention_dp_tp_mesh_correct():
         lambda x: fused_tiny_attention(x, heads, head_group=2), in_shardings=sh
     )(jax.device_put(qkv, sh))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("b,n_dev,batch_block,sg", [
+    (8, 8, 8, 2),    # local b=1: shard must re-derive (bb=1, sg=1) AND its mask
+    (12, 2, 12, 4),  # local bb=6 not divisible by requested sg=4 -> sg=3 locally
+])
+def test_fused_attention_sample_group_sharded_matches_unsharded(b, n_dev, batch_block, sg):
+    """Regression (round-2.1 review): the SPMD rule re-runs the shard-local
+    lowering on each device's batch, which re-derives (bb, sg); the group
+    mask must be rebuilt at THAT tiling.  The original code passed a
+    globally-sized mask across the boundary — local b=1 with the shipping
+    sample_group=2 crashed with a mask-shape mismatch, and a local bb
+    not divisible by sg silently skipped tail samples (garbage output)."""
+    s, heads, hd = 10, 4, 8
+    d = heads * hd
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * d)), jnp.float32)
+    bias = jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)
+
+    def f(x):
+        return fused_tiny_attention(x, heads, bias=bias, head_group=2,
+                                    batch_block=batch_block, sample_group=sg)
+
+    ref = jax.jit(f)(qkv)
+    mesh = _mesh((n_dev,), ("data",))
+    sh = NamedSharding(mesh, P("data", None, None))
+    out = jax.jit(f, in_shardings=sh)(jax.device_put(qkv, sh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g = jax.grad(lambda x: jnp.sum(jnp.tanh(f(x))))
+    ref_g = jax.jit(g)(qkv)
+    out_g = jax.jit(g, in_shardings=sh)(jax.device_put(qkv, sh))
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g), atol=1e-4)
