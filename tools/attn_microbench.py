@@ -1,0 +1,81 @@
+"""Same-process microbench of fused_tiny_attention (g, sg) tilings on TPU.
+
+Times fwd and fwd+bwd of a single attention call at the CLIP tower shapes
+against the XLA einsum path, in ONE process (TPU timing baselines drift
+between processes; only same-process comparisons are meaningful).
+
+Measured (v5e, bs256, round 2.1) — ms per call:
+  vision (S=50, H=12):  xla 2.21/3.09   g4sg1 1.67/2.42   g2sg2 1.52/2.07 <- ships
+  text (S=77, H=8, causal): xla 1.74/2.16  best fused g2sg4 1.60/2.24 -> XLA ships
+
+Usage: python tools/attn_microbench.py [vision|text]
+"""
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+from iterated_learning_for_vlm_tpu.ops.fused_attention import fused_tiny_attention
+
+
+def xla_attention(qkv, heads, bias):
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (t.reshape(b, s, heads, hd) for t in (q, k, v))
+    logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * hd ** -0.5
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhc->bqhc", w.astype(qkv.dtype), v)
+    return out.reshape(b, s, d)
+
+
+def timeit(fn, *args, steps=30, warmup=5):
+    for _ in range(warmup):
+        out = fn(*args)
+    _ = float(jax.tree.leaves(out)[0].ravel()[0])  # host fence
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    _ = float(jax.tree.leaves(out)[0].ravel()[0])
+    return (time.perf_counter() - t0) / steps * 1e3
+
+
+def sweep(name, b, s, heads, hd, causal, configs):
+    d = heads * hd
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * d)), jnp.bfloat16)
+    bias = (jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)
+            if causal else None)
+
+    def grad_of(f):
+        return jax.jit(jax.grad(lambda x: jnp.sum(f(x).astype(jnp.float32))))
+
+    xf = jax.jit(lambda x: xla_attention(x, heads, bias))
+    print(f"-- {name}: B={b} S={s} H={heads} hd={hd} causal={causal}")
+    print(f"   xla      : fwd {timeit(xf, qkv):7.3f} ms   "
+          f"fwd+bwd {timeit(grad_of(lambda x: xla_attention(x, heads, bias)), qkv):7.3f} ms")
+    for g, sg in configs:
+        f = jax.jit(lambda x, g=g, sg=sg: fused_tiny_attention(
+            x, heads, bias=bias, head_group=g, sample_group=sg))
+        fb = grad_of(lambda x, g=g, sg=sg: fused_tiny_attention(
+            x, heads, bias=bias, head_group=g, sample_group=sg))
+        print(f"   g={g:<2} sg={sg:<2}: fwd {timeit(f, qkv):7.3f} ms   "
+              f"fwd+bwd {timeit(fb, qkv):7.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "vision"
+    if which == "vision":
+        sweep("vision", 256, 50, 12, 64, False,
+              [(4, 1), (4, 2), (2, 2), (2, 4), (4, 4), (6, 2), (12, 1)])
+    else:
+        sweep("text", 256, 77, 8, 64, True,
+              [(2, 1), (2, 2), (4, 2), (1, 4), (2, 4), (8, 1)])
