@@ -132,6 +132,12 @@ def clip_swinMoE_B(**kw):
     return _clip(swin_moe_b, text_base, kw)
 
 
+def clip_swinMLP_B(**kw):
+    from .swin import swin_mlp_b
+
+    return _clip(swin_mlp_b, text_base, kw)
+
+
 def clip_fdt_swinB_v2(**kw):
     from .swin import swin_b_v2
 
@@ -179,6 +185,7 @@ _REGISTRY = {
     "clip_swinL": clip_swinL,
     "clip_swinL_v2": clip_swinL_v2,
     "clip_swinMoE_B": clip_swinMoE_B,
+    "clip_swinMLP_B": clip_swinMLP_B,
     "clip_fdt_vitb32": clip_fdt_vitb32,
     "clip_fdt_vitb16": clip_fdt_vitb16,
     "clip_fdt_swinB_v2": clip_fdt_swinB_v2,

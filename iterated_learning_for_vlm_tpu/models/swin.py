@@ -51,6 +51,10 @@ class SwinConfig:
     moe_stages: Tuple[int, ...] = (2, 3)
     moe_top_k: int = 1
     capacity_factor: float = 1.25
+    # Swin-MLP (reference ``swin_mlp.py``): attention-free variant where the
+    # window token-mix is a per-head linear map over window positions and the
+    # shifted blocks zero-pad instead of roll+mask.
+    mlp_mix: bool = False
 
 
 def _window_partition(x, ws):
@@ -134,6 +138,32 @@ class WindowAttention(nn.Module):
         out = jnp.einsum("whqk,wkhc->wqhc", attn, v).reshape(nw, n, c)
         return nn.Dense(c, kernel_init=torch_kaiming_uniform(), dtype=self.dtype,
                         param_dtype=jnp.float32, name="proj")(out)
+
+
+class SpatialMLP(nn.Module):
+    """Per-head linear token mix over window positions (Swin-MLP).
+
+    Reference ``prototype/model/swin/models/swin_mlp.py:104-141``: a grouped
+    Conv1d (kernel 1, groups=num_heads) over ``[nH * ws^2]`` channels — i.e.
+    for each head an independent ``[ws^2, ws^2]`` mixing matrix + bias over
+    the window's positions, applied to every ``C/nH`` feature lane.  On TPU
+    this is one batched einsum per block (maps straight onto the MXU),
+    replacing the transpose/reshape/Conv1d dance.
+    """
+    heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, wins):  # [nW*B, N, C]
+        nw, n, c = wins.shape
+        h = self.heads
+        w = self.param("mix_kernel", torch_kaiming_uniform(),
+                       (h, n, n), jnp.float32)
+        bias = self.param("mix_bias", nn.initializers.zeros, (h, n), jnp.float32)
+        x = wins.reshape(nw, n, h, c // h)
+        out = jnp.einsum("hnm,wmhc->wnhc", w.astype(self.dtype), x)
+        out = out + bias.T[None, :, :, None].astype(self.dtype)
+        return out.reshape(nw, n, c)
 
 
 class MoEMlp(nn.Module):
@@ -222,6 +252,7 @@ class SwinBlock(nn.Module):
     num_experts: int = 0  # >0: MoE MLP (Swin-MoE block)
     moe_top_k: int = 1
     capacity_factor: float = 1.25
+    mlp_mix: bool = False  # Swin-MLP token mix instead of window attention
 
     @nn.compact
     def __call__(self, x, _=None):
@@ -230,7 +261,25 @@ class SwinBlock(nn.Module):
         ws = min(self.window_size, hw)
         shift = self.shift if ws < hw else 0
 
+        def mix_part(x):
+            # Swin-MLP: shifted blocks zero-pad by (ws-shift, shift) on both
+            # spatial dims instead of roll+mask (swin_mlp.py:122-152).
+            img = x.reshape(b, hw, hw, c)
+            lead, trail = ws - shift, shift
+            if shift > 0:
+                img = jnp.pad(img, ((0, 0), (lead, trail), (lead, trail), (0, 0)))
+            ph = img.shape[1]
+            wins = _window_partition(img, ws)
+            wins = SpatialMLP(heads=self.heads, dtype=self.dtype,
+                              name="spatial_mlp")(wins)
+            img = _window_reverse(wins, ws, ph, ph)
+            if shift > 0:
+                img = img[:, lead:ph - trail, lead:ph - trail, :]
+            return img.reshape(b, l, c)
+
         def attn_part(x):
+            if self.mlp_mix:
+                return mix_part(x)
             img = x.reshape(b, hw, hw, c)
             if shift > 0:
                 img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
@@ -334,6 +383,7 @@ class SwinTransformer(nn.Module):
                     num_experts=cfg.num_experts if is_moe else 0,
                     moe_top_k=cfg.moe_top_k,
                     capacity_factor=cfg.capacity_factor,
+                    mlp_mix=cfg.mlp_mix,
                     name=f"stage{stage}_block{blk}",
                 )(x)
                 if aux is not None:
@@ -355,20 +405,44 @@ class SwinTransformer(nn.Module):
         return out
 
 
+def _override(cfg: SwinConfig, kw) -> SwinConfig:
+    """Structural overrides from config kwargs — the reference's Swin YAMLs
+    drive the same fields (DEPTHS, NUM_HEADS, WINDOW_SIZE, IMG_SIZE, ...).
+    ``embed_dim``/``output_dim`` keep their factory meaning (CLIP embed dim)."""
+    from dataclasses import fields, replace
+
+    valid = {f.name for f in fields(SwinConfig)} - {"embed_dim", "output_dim"}
+    over = {k: (tuple(v) if isinstance(v, list) else v)
+            for k, v in kw.items() if k in valid}
+    return replace(cfg, **over) if over else cfg
+
+
 # factories matching the reference swin configs
 def swin_b_v2(embed_dim=512, **kw) -> SwinConfig:
-    return SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
-                      v2=True, output_dim=embed_dim)
+    return _override(SwinConfig(embed_dim=128, depths=(2, 2, 18, 2),
+                                num_heads=(4, 8, 16, 32),
+                                v2=True, output_dim=embed_dim), kw)
 
 
 def swin_l(embed_dim=768, **kw) -> SwinConfig:
-    return SwinConfig(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48),
-                      v2=False, output_dim=embed_dim)
+    return _override(SwinConfig(embed_dim=192, depths=(2, 2, 18, 2),
+                                num_heads=(6, 12, 24, 48),
+                                v2=False, output_dim=embed_dim), kw)
 
 
 def swin_l_v2(embed_dim=768, **kw) -> SwinConfig:
-    return SwinConfig(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48),
-                      v2=True, output_dim=embed_dim)
+    return _override(SwinConfig(embed_dim=192, depths=(2, 2, 18, 2),
+                                num_heads=(6, 12, 24, 48),
+                                v2=True, output_dim=embed_dim), kw)
+
+
+def swin_mlp_b(embed_dim=512, **kw) -> SwinConfig:
+    """Swin-MLP base (reference ``swin_mlp.py`` +
+    ``configs/swinmlp/swin_mlp_base_patch4_window7_224.yaml``: embed 128,
+    depths (2,2,18,2), heads (4,8,16,32), pre-norm, zero-pad shift)."""
+    return _override(SwinConfig(embed_dim=128, depths=(2, 2, 18, 2),
+                                num_heads=(4, 8, 16, 32),
+                                v2=False, output_dim=embed_dim, mlp_mix=True), kw)
 
 
 def swin_moe_b(embed_dim=512, num_experts=8, moe_top_k=1, capacity_factor=1.25,
@@ -376,7 +450,8 @@ def swin_moe_b(embed_dim=512, num_experts=8, moe_top_k=1, capacity_factor=1.25,
     """Swin-MoE base (reference ``swin_transformer_moe.py`` capability; its
     vendored configs are Tutel-backed and unconsumed by any CLIP factory —
     provided here as a first-class tower with expert-parallel headroom)."""
-    return SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
-                      v2=False, output_dim=embed_dim, num_experts=num_experts,
-                      moe_top_k=moe_top_k, capacity_factor=capacity_factor,
-                      moe_stages=tuple(moe_stages))
+    return _override(
+        SwinConfig(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+                   v2=False, output_dim=embed_dim, num_experts=num_experts,
+                   moe_top_k=moe_top_k, capacity_factor=capacity_factor,
+                   moe_stages=tuple(moe_stages)), kw)
