@@ -249,6 +249,14 @@ def build_parser():
 
     def common(sp):
         sp.add_argument("--model_config", required=True)
+        sp.add_argument("--model_type", default="cust_clip",
+                        choices=["cust_clip", "open_clip"],
+                        help="reference TYPE2FUNC surface (models/__init__.py:8-13)."
+                             " cust_clip: this framework's / reference training"
+                             " checkpoints; open_clip: local OpenAI/open_clip"
+                             " .pt state dicts (layout auto-converted)."
+                             " ja_clip is not supported: it loads a"
+                             " network-hosted HF BERT text tower.")
         sp.add_argument("--pretrained", default=None,
                         help="checkpoint dir; comma-separated list = weight soup")
         sp.add_argument("--batch_size", type=int, default=64)

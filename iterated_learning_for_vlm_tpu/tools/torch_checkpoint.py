@@ -132,5 +132,46 @@ def convert_reference_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
                                          for k, v in flat.items()})
 
 
+def _openai_to_reference_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rename an OpenAI/open_clip CLIP state dict to the reference layout.
+
+    Official CLIP (and open_clip "quickgelu" models — the family the
+    reference's ``models/open_clip.py`` loader serves) keep the text tower's
+    keys UNPREFIXED (``transformer.resblocks...``, ``token_embedding.weight``,
+    ``ln_final.*``) and ``text_projection`` is a bare ``[width, embed]``
+    parameter (``x @ text_projection``, no bias) — vs the reference's
+    ``encode_text.`` prefix and Linear text_projection.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for key, value in sd.items():
+        if key.startswith(("visual.", "encode_text.")) or key in (
+                "logit_scale", "logit_scale_sd", "space_dict"):
+            out[key] = value
+        elif key == "text_projection":
+            # bare [width, embed]: becomes the Linear kernel WITHOUT the
+            # torch [out, in] transpose; bias is zero.
+            out["encode_text.text_projection.weight"] = value.T
+            out["encode_text.text_projection.bias"] = np.zeros(
+                value.shape[1], value.dtype)
+        elif key.startswith(("transformer.", "token_embedding.",
+                             "ln_final.")) or key == "positional_embedding":
+            out["encode_text." + key] = value
+        else:  # BN buffers, attn_mask buffers, etc. — converter skips them
+            out[key] = value
+    return out
+
+
+def _looks_like_openai_layout(sd: Dict[str, np.ndarray]) -> bool:
+    return ("token_embedding.weight" in sd
+            and not any(k.startswith("encode_text.") for k in sd))
+
+
 def load_reference_checkpoint(path: str) -> Dict[str, Any]:
-    return convert_reference_state_dict(load_torch_state_dict(path))
+    """Load + convert a torch checkpoint, auto-detecting the reference
+    (``encode_text.``-prefixed) vs OpenAI/open_clip (unprefixed text tower)
+    layout — so both ``--model_type cust_clip`` and ``open_clip`` local
+    checkpoints evaluate through one path."""
+    sd = load_torch_state_dict(path)
+    if _looks_like_openai_layout(sd):
+        sd = _openai_to_reference_keys(sd)
+    return convert_reference_state_dict(sd)

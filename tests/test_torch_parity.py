@@ -151,6 +151,41 @@ def test_text_tower_parity(parity_setup):
     np.testing.assert_allclose(ours, ref, atol=2e-4)
 
 
+def test_openai_layout_autodetect_and_convert(parity_setup):
+    """OpenAI/open_clip layout (unprefixed text tower, bare text_projection)
+    converts to the same flax tree as the reference layout (--model_type
+    open_clip path)."""
+    from flax import traverse_util
+
+    from iterated_learning_for_vlm_tpu.tools.torch_checkpoint import (
+        _looks_like_openai_layout, _openai_to_reference_keys,
+    )
+
+    tmodel, _, variables = parity_setup
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    oa = {}
+    for k, v in sd.items():
+        if k == "encode_text.text_projection.weight":
+            oa["text_projection"] = v.T  # bare [width, embed], x @ W
+        elif k == "encode_text.text_projection.bias":
+            continue  # openai has no bias
+        elif k.startswith("encode_text."):
+            oa[k[len("encode_text."):]] = v
+        else:
+            oa[k] = v
+    assert _looks_like_openai_layout(oa) and not _looks_like_openai_layout(sd)
+
+    converted = convert_reference_state_dict(_openai_to_reference_keys(oa))
+    flat_c = traverse_util.flatten_dict(converted)
+    flat_r = traverse_util.flatten_dict(variables["params"])
+    assert set(flat_c) == set(flat_r)
+    for k in flat_r:
+        if k == ("text", "text_projection", "bias"):
+            assert (flat_c[k] == 0).all()
+        else:
+            np.testing.assert_allclose(flat_c[k], flat_r[k], atol=1e-6)
+
+
 def test_logit_scale_roundtrip(parity_setup):
     tmodel, fmodel, variables = parity_setup
     np.testing.assert_allclose(
