@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 
@@ -73,6 +74,27 @@ def _custom_override(path, dataset):
     return data
 
 
+def _expand_datasets(names):
+    """Reference main_eval dataset expansion (cli.py:135-145): each entry is
+    a dataset name, or a FILE whose lines are dataset names
+    (``webdatasets.txt`` in test.sh:34)."""
+    out = []
+    for name in names if isinstance(names, (list, tuple)) else [names]:
+        if os.path.isfile(name) and not os.path.isdir(name):
+            try:
+                with open(name) as f:
+                    lines = [ln.strip() for ln in f
+                             if ln.strip() and not ln.startswith("#")]
+                # a dataset-list file, not a data file fed to a builder style
+                if lines and all(re.match(r"^[\w/@.:-]+$", ln) for ln in lines):
+                    out.extend(lines)
+                    continue
+            except UnicodeDecodeError:
+                pass
+        out.append(name)
+    return out
+
+
 def cmd_eval(args):
     from .builder import apply_language, build_dataset
     from .zeroshot_classification import evaluate_zeroshot_classification
@@ -81,15 +103,17 @@ def cmd_eval(args):
     encoder = None
     languages = args.language if isinstance(args.language, list) else [args.language]
     recs = []
-    for language in languages:  # reference main_eval language product (cli.py:116-195)
-        ds = build_dataset(args.dataset, root=args.dataset_root, split=args.split)
+    # reference main_eval dataset x language product (cli.py:116-195)
+    for dataset, language in ((d, lg) for d in _expand_datasets(args.dataset)
+                              for lg in languages):
+        ds = build_dataset(dataset, root=args.dataset_root, split=args.split)
         # resolve 'auto' BEFORE formatting the skip path — the reference also
         # resolves the task first (cli.py:234-247), else an {task} template
         # checks "..._auto_..." and never matches what _dump wrote
         task = args.task if args.task != "auto" else ds.task
         if args.skip_existing and args.output:
             candidate = args.output.format(
-                dataset=str(args.dataset).replace("/", "_"), task=task,
+                dataset=str(dataset).replace("/", "_"), task=task,
                 language=language, model=os.path.basename(str(args.model_config)),
                 pretrained=os.path.basename(str(args.pretrained)))
             if os.path.exists(candidate):  # reference cli.py --skip_existing
@@ -98,10 +122,10 @@ def cmd_eval(args):
         if encoder is None:
             encoder = _load_encoder(args)
         ds = apply_language(ds, language, lang_root=args.language_root or None)
-        custom_names = _custom_override(args.custom_classname_file, args.dataset)
+        custom_names = _custom_override(args.custom_classname_file, dataset)
         if custom_names:
             ds.classnames = custom_names
-        custom_templates = _custom_override(args.custom_template_file, args.dataset)
+        custom_templates = _custom_override(args.custom_template_file, dataset)
         if custom_templates:
             ds.templates = custom_templates
         if args.template_set:  # reference prompt files (imagenet.py:43-49)
@@ -133,7 +157,7 @@ def cmd_eval(args):
         elif task == "linear_probe":
             from .linear_probe import evaluate_linear_probe
 
-            train_ds = build_dataset(args.dataset, root=args.dataset_root,
+            train_ds = build_dataset(dataset, root=args.dataset_root,
                                      split=args.train_split)
             metrics = evaluate_linear_probe(
                 encoder, train_ds.images, train_ds.labels, ds.images, ds.labels,
@@ -152,7 +176,7 @@ def cmd_eval(args):
             extra["classnames"] = list(ds.classnames or [])
         if args.dump_templates:
             extra["templates"] = list(ds.templates or [])
-        recs.append(_dump(args, args.dataset, task, metrics, language=language,
+        recs.append(_dump(args, dataset, task, metrics, language=language,
                           extra=extra))
     return recs[0] if len(recs) == 1 else recs
 
@@ -268,7 +292,10 @@ def build_parser():
 
     e = sub.add_parser("eval")
     common(e)
-    e.add_argument("--dataset", required=True)
+    e.add_argument("--dataset", required=True, nargs="+",
+                   help="dataset name(s); an entry that is a text file is "
+                        "read as one dataset name per line (reference "
+                        "cli.py:135-145, test.sh webdatasets.txt)")
     e.add_argument("--dataset_root", default="")
     e.add_argument("--split", default="test")
     e.add_argument("--task", default="auto")

@@ -189,3 +189,26 @@ def test_skip_existing_resolves_auto_task(tmp_path, monkeypatch):
         "--batch_size", "8", "--output", tmpl, "--skip_existing",
     ])
     assert recs == []  # matched the resolved-task filename and skipped
+
+
+def test_dataset_list_file_and_product(tmp_path, monkeypatch):
+    """--dataset takes multiple entries; a text-file entry expands to one
+    dataset per line (reference cli.py:135-145 / test.sh webdatasets.txt)."""
+    from iterated_learning_for_vlm_tpu.eval import builder
+
+    def fake_build(name, root="", split="test"):
+        ds = _tiny_dummy()
+        ds.name = name
+        return ds
+
+    monkeypatch.setattr(builder, "build_dataset", fake_build)
+    lst = tmp_path / "webdatasets.txt"
+    lst.write_text("wds/ds_a\nwds/ds_b\n")
+    tmpl = str(tmp_path / "{dataset}_{task}_{language}.json")
+    recs = eval_cli.main([
+        "eval", "--model_config", _config_file(tmp_path),
+        "--dataset", str(lst), "dummy", "--batch_size", "8", "--output", tmpl,
+    ])
+    assert [r["dataset"] for r in recs] == ["wds/ds_a", "wds/ds_b", "dummy"]
+    assert (tmp_path / "wds_ds_a_zeroshot_classification_en.json").exists()
+    assert (tmp_path / "dummy_zeroshot_classification_en.json").exists()
