@@ -144,11 +144,31 @@ _REGISTRY = {
 }
 
 
+def epoch_to_iter(kwargs: dict) -> dict:
+    """Epoch-based schedule kwargs -> iteration-based (reference
+    ``lr_scheduler/__init__.py:4-15``): ``lr_epochs`` -> ``lr_steps`` and
+    ``warmup_epoch`` -> ``warmup_steps`` (floor 2) scaled by
+    ``max_iter / max_epoch``."""
+    kwargs = dict(kwargs)
+    ratio = kwargs["max_iter"] / kwargs.pop("max_epoch")
+    if "lr_epochs" in kwargs:
+        kwargs["lr_steps"] = [round(e * ratio) for e in kwargs.pop("lr_epochs")]
+    if "warmup_epoch" in kwargs:
+        kwargs["warmup_steps"] = max(round(kwargs.pop("warmup_epoch") * ratio), 2)
+    return kwargs
+
+
 def scheduler_entry(config) -> Schedule:
     """Build a schedule from the reference YAML block
     (``lr_scheduler: {type, kwargs}``); ``last_iter``/``optimizer`` kwargs from
-    the torch API are ignored (the step is explicit here)."""
+    the torch API are ignored (the step is explicit here).  ``StepEpoch`` /
+    ``CosineEpoch`` convert epoch kwargs via :func:`epoch_to_iter`
+    (reference ``scheduler_entry``, ``lr_scheduler/__init__.py:18-21``)."""
     kwargs = dict(config["kwargs"])
     for dead in ("optimizer", "last_iter"):
         kwargs.pop(dead, None)
-    return _REGISTRY[config["type"]](**kwargs)
+    stype = config["type"]
+    if stype in ("StepEpoch", "CosineEpoch"):
+        stype = stype.replace("Epoch", "")
+        kwargs = epoch_to_iter(kwargs)
+    return _REGISTRY[stype](**kwargs)

@@ -53,6 +53,27 @@ def test_scheduler_entry_yaml():
         _reference_cosine(500, 5e-5, 5e-4, 0.0, 500, 80000, 6000), rel=1e-5)
 
 
+def test_scheduler_entry_epoch_types():
+    """StepEpoch/CosineEpoch convert epoch kwargs by max_iter/max_epoch
+    (reference lr_scheduler/__init__.py:4-21)."""
+    cfg = {"type": "StepEpoch", "kwargs": {
+        "base_lr": 1e-4, "warmup_lr": 1e-3, "warmup_epoch": 1,
+        "lr_epochs": [3, 6], "lr_mults": [0.1, 0.1],
+        "max_iter": 1000, "max_epoch": 10}}
+    sched = scheduler_entry(cfg)
+    # converted: warmup_steps=100, lr_steps=[300, 600]
+    direct = scheduler_entry({"type": "Step", "kwargs": {
+        "base_lr": 1e-4, "warmup_lr": 1e-3, "warmup_steps": 100,
+        "lr_steps": [300, 600], "lr_mults": [0.1, 0.1], "max_iter": 1000}})
+    for s in (0, 50, 100, 299, 300, 599, 600, 999):
+        assert float(sched(s)) == pytest.approx(float(direct(s)), rel=1e-6)
+    # warmup floor of 2 steps (reference max(round(...), 2))
+    from iterated_learning_for_vlm_tpu.train.schedule import epoch_to_iter
+
+    kw = epoch_to_iter({"warmup_epoch": 0.0001, "max_iter": 100, "max_epoch": 10})
+    assert kw["warmup_steps"] == 2
+
+
 # -- loss --------------------------------------------------------------------
 def _embeds(b=16, d=8, seed=0):
     rng = np.random.RandomState(seed)
