@@ -97,6 +97,7 @@ def _expand_datasets(names):
 
 def cmd_eval(args):
     from .builder import apply_language, build_dataset
+    from .linear_probe import probe_cache_complete
     from .zeroshot_classification import evaluate_zeroshot_classification
     from .zeroshot_retrieval import evaluate_retrieval
 
@@ -119,7 +120,16 @@ def cmd_eval(args):
             if os.path.exists(candidate):  # reference cli.py --skip_existing
                 print(f"skip existing {candidate}", file=sys.stderr)
                 continue
-        if encoder is None:
+        probe_prefix = None
+        if task == "linear_probe" and args.feature_root:
+            # reference feature_root layout: features/<dataset>/<model tag>
+            tag = (os.path.basename(str(args.pretrained).rstrip("/"))
+                   if args.pretrained else "random_init")
+            probe_prefix = os.path.join(
+                args.feature_root, str(dataset).replace("/", "_"), tag)
+        skip_model = (task == "linear_probe" and args.skip_load
+                      and probe_cache_complete(probe_prefix))
+        if encoder is None and not skip_model:
             encoder = _load_encoder(args)
         ds = apply_language(ds, language, lang_root=args.language_root or None)
         custom_names = _custom_override(args.custom_classname_file, dataset)
@@ -157,10 +167,14 @@ def cmd_eval(args):
         elif task == "linear_probe":
             from .linear_probe import evaluate_linear_probe
 
-            train_ds = build_dataset(dataset, root=args.dataset_root,
-                                     split=args.train_split)
+            if skip_model:  # features fully cached; datasets only give labels
+                train_ds = ds
+            else:
+                train_ds = build_dataset(dataset, root=args.dataset_root,
+                                         split=args.train_split)
             metrics = evaluate_linear_probe(
                 encoder, train_ds.images, train_ds.labels, ds.images, ds.labels,
+                feature_cache_prefix=probe_prefix,
                 fewshot_k=args.fewshot_k,
                 val_fraction=args.val_proportion,
                 # the reference's epoch knob maps to full-batch steps here
@@ -308,6 +322,14 @@ def build_parser():
     e.add_argument("--fewshot_epochs", type=int, default=10,
                    help="probe budget; one epoch == 50 full-batch steps here")
     e.add_argument("--fewshot_lr", type=float, default=0.1)
+    e.add_argument("--feature_root", default=None,
+                   help="cache linear-probe features on disk under "
+                        "<feature_root>/<dataset>/<ckpt tag> (reference "
+                        "cli.py --feature_root); re-runs and WD sweeps "
+                        "reuse them")
+    e.add_argument("--skip_load", action="store_true",
+                   help="skip model loading when the probe feature cache "
+                        "is complete (reference cli.py --skip_load)")
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--save_clf", default=None,
                    help="save the zeroshot classifier to this .npy")

@@ -10,6 +10,7 @@ at these scales), replacing the reference's torch DataLoader epochs.
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax
@@ -17,6 +18,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from .zeroshot_classification import accuracy_topk, mean_per_class_recall
+
+
+def probe_cache_paths(prefix: str, split: str):
+    return f"{prefix}_{split}_feats.npy", f"{prefix}_{split}_labels.npy"
+
+
+def probe_cache_complete(prefix: Optional[str]) -> bool:
+    """True when both splits' features are on disk (``--skip_load``)."""
+    if not prefix:
+        return False
+    return all(os.path.exists(p) for s in ("train", "test")
+               for p in probe_cache_paths(prefix, s))
+
+
+def _features(encoder, images, labels, prefix: Optional[str], split: str):
+    """Frozen features, disk-cached under ``feature_root`` when given
+    (reference linear_probe.py Featurizer cache: features + targets saved
+    per model x dataset x split, reused across WD sweeps and re-runs)."""
+    labels = np.asarray(labels)
+    if prefix:
+        fp, lp = probe_cache_paths(prefix, split)
+        if os.path.exists(fp) and os.path.exists(lp):
+            return np.load(fp), np.load(lp)
+    if encoder is None:
+        raise ValueError(
+            f"--skip_load given but the probe feature cache is incomplete "
+            f"(missing {split} split under prefix {prefix!r})")
+    feats = encoder.encode_images(images)
+    if prefix:
+        os.makedirs(os.path.dirname(os.path.abspath(fp)), exist_ok=True)
+        np.save(fp, feats)
+        np.save(lp, labels)
+    return feats, labels
 
 
 def _train_head(
@@ -81,13 +115,13 @@ def evaluate_linear_probe(
     steps: int = 500,
     seed: int = 0,
     lr: float = 0.1,
+    feature_cache_prefix: Optional[str] = None,
 ) -> Dict[str, float]:
-    train_labels = np.asarray(train_labels)
-    test_labels = np.asarray(test_labels)
+    train_feats, train_labels = _features(encoder, train_images, train_labels,
+                                          feature_cache_prefix, "train")
+    test_feats, test_labels = _features(encoder, test_images, test_labels,
+                                        feature_cache_prefix, "test")
     num_classes = num_classes or int(train_labels.max()) + 1
-
-    train_feats = encoder.encode_images(train_images)
-    test_feats = encoder.encode_images(test_images)
 
     if fewshot_k > 0:
         idx = fewshot_subset(train_labels, fewshot_k, seed)

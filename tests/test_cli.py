@@ -212,3 +212,33 @@ def test_dataset_list_file_and_product(tmp_path, monkeypatch):
     assert [r["dataset"] for r in recs] == ["wds/ds_a", "wds/ds_b", "dummy"]
     assert (tmp_path / "wds_ds_a_zeroshot_classification_en.json").exists()
     assert (tmp_path / "dummy_zeroshot_classification_en.json").exists()
+
+
+def test_linear_probe_feature_cache_and_skip_load(tmp_path, monkeypatch):
+    """--feature_root caches probe features; --skip_load then evaluates
+    without building the model at all (reference cli.py --feature_root /
+    --skip_load)."""
+    from iterated_learning_for_vlm_tpu.eval import builder
+
+    monkeypatch.setattr(builder, "build_dummy", lambda n=8: _tiny_dummy())
+    cfg = _config_file(tmp_path)
+    froot = str(tmp_path / "features")
+    argv = [
+        "eval", "--model_config", cfg, "--dataset", "dummy",
+        "--task", "linear_probe", "--batch_size", "4", "--fewshot_epochs", "1",
+        "--feature_root", froot,
+    ]
+    rec = eval_cli.main(argv)
+    assert "acc1" in rec["metrics"]
+    import os
+
+    prefix = os.path.join(froot, "dummy", "random_init")
+    for s in ("train", "test"):
+        assert os.path.exists(f"{prefix}_{s}_feats.npy")
+        assert os.path.exists(f"{prefix}_{s}_labels.npy")
+
+    # cache complete: --skip_load must not touch the model loader
+    monkeypatch.setattr(eval_cli, "_load_encoder",
+                        lambda a: (_ for _ in ()).throw(AssertionError("loaded")))
+    rec2 = eval_cli.main(argv + ["--skip_load"])
+    assert rec2["metrics"]["acc1"] == rec["metrics"]["acc1"]
