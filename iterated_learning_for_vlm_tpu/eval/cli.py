@@ -101,6 +101,9 @@ def cmd_eval(args):
     from .zeroshot_classification import evaluate_zeroshot_classification
     from .zeroshot_retrieval import evaluate_retrieval
 
+    if args.val_split and args.val_proportion:
+        raise SystemExit("--val_split and --val_proportion are mutually "
+                         "exclusive (reference cli.py:35-37)")
     encoder = None
     languages = args.language if isinstance(args.language, list) else [args.language]
     recs = []
@@ -172,9 +175,14 @@ def cmd_eval(args):
             else:
                 train_ds = build_dataset(dataset, root=args.dataset_root,
                                          split=args.train_split)
+            val_kw = {}
+            if args.val_split:  # explicit val split for the WD search
+                val_ds = build_dataset(dataset, root=args.dataset_root,
+                                       split=args.val_split)
+                val_kw = dict(val_images=val_ds.images, val_labels=val_ds.labels)
             metrics = evaluate_linear_probe(
                 encoder, train_ds.images, train_ds.labels, ds.images, ds.labels,
-                feature_cache_prefix=probe_prefix,
+                feature_cache_prefix=probe_prefix, **val_kw,
                 fewshot_k=args.fewshot_k,
                 val_fraction=args.val_proportion,
                 # the reference's epoch knob maps to full-batch steps here
@@ -317,6 +325,10 @@ def build_parser():
     e.add_argument("--fewshot_k", type=int, default=-1)
     e.add_argument("--train_split", default="train",
                    help="split used to fit the linear probe")
+    e.add_argument("--val_split", default=None,
+                   help="explicit validation split for the probe WD search "
+                        "(reference cli.py --val_split, mutually exclusive "
+                        "with --val_proportion)")
     e.add_argument("--val_proportion", type=float, default=0.0,
                    help="held-out fraction of train for the probe's WD search")
     e.add_argument("--fewshot_epochs", type=int, default=10,

@@ -116,6 +116,8 @@ def evaluate_linear_probe(
     seed: int = 0,
     lr: float = 0.1,
     feature_cache_prefix: Optional[str] = None,
+    val_images=None,
+    val_labels=None,
 ) -> Dict[str, float]:
     train_feats, train_labels = _features(encoder, train_images, train_labels,
                                           feature_cache_prefix, "train")
@@ -127,18 +129,28 @@ def evaluate_linear_probe(
         idx = fewshot_subset(train_labels, fewshot_k, seed)
         train_feats, train_labels = train_feats[idx], train_labels[idx]
 
-    best_wd = wd_candidates[0]
-    if val_fraction > 0 and len(wd_candidates) > 1:
+    # WD search validation set: an explicit val split (reference --val_split)
+    # beats the --val_proportion carve-out of train
+    val_feats = val_lbls = None
+    if val_images is not None:
+        val_feats, val_lbls = _features(encoder, val_images, val_labels,
+                                        feature_cache_prefix, "val")
+        tr_feats, tr_labels = train_feats, train_labels
+    elif val_fraction > 0:
         rng = np.random.default_rng(seed)
         perm = rng.permutation(len(train_feats))
         n_val = max(1, int(len(perm) * val_fraction))
         val_idx, tr_idx = perm[:n_val], perm[n_val:]
+        val_feats, val_lbls = train_feats[val_idx], train_labels[val_idx]
+        tr_feats, tr_labels = train_feats[tr_idx], train_labels[tr_idx]
+
+    best_wd = wd_candidates[0]
+    if val_feats is not None and len(wd_candidates) > 1:
         best_acc = -1.0
         for wd in wd_candidates:
-            w, b = _train_head(train_feats[tr_idx], train_labels[tr_idx], num_classes,
+            w, b = _train_head(tr_feats, tr_labels, num_classes,
                                weight_decay=wd, steps=steps, seed=seed, lr=lr)
-            acc = float(np.mean((train_feats[val_idx] @ w + b).argmax(-1)
-                                == train_labels[val_idx]))
+            acc = float(np.mean((val_feats @ w + b).argmax(-1) == val_lbls))
             if acc > best_acc:
                 best_acc, best_wd = acc, wd
 

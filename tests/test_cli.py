@@ -242,3 +242,27 @@ def test_linear_probe_feature_cache_and_skip_load(tmp_path, monkeypatch):
                         lambda a: (_ for _ in ()).throw(AssertionError("loaded")))
     rec2 = eval_cli.main(argv + ["--skip_load"])
     assert rec2["metrics"]["acc1"] == rec["metrics"]["acc1"]
+
+
+def test_linear_probe_val_split(tmp_path, monkeypatch):
+    """--val_split drives the WD search from an explicit split and is
+    mutually exclusive with --val_proportion (reference cli.py:35-37)."""
+    import pytest
+
+    from iterated_learning_for_vlm_tpu.eval import builder
+
+    monkeypatch.setattr(builder, "build_dataset",
+                        lambda name, root="", split="test": _tiny_dummy())
+    cfg = _config_file(tmp_path)
+    rec = eval_cli.main([
+        "eval", "--model_config", cfg, "--dataset", "dummy",
+        "--task", "linear_probe", "--batch_size", "4", "--fewshot_epochs", "1",
+        "--val_split", "val",
+    ])
+    assert "weight_decay" in rec["metrics"]
+    with pytest.raises(SystemExit):
+        eval_cli.main([
+            "eval", "--model_config", cfg, "--dataset", "dummy",
+            "--task", "linear_probe", "--val_split", "val",
+            "--val_proportion", "0.2",
+        ])
