@@ -16,6 +16,7 @@ import re
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -67,6 +68,37 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     wait_for_saves()
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(os.path.abspath(path), template)
+
+
+def modify_state(restored: TrainState, template: TrainState,
+                 ignore) -> TrainState:
+    """Drop pieces of a loaded checkpoint before finetuning (reference
+    ``modify_state``, prototype/utils/misc.py:520-533, driven by the
+    ``saver.pretrain.ignore`` config).  ``ignore.key`` entries:
+    ``optimizer`` -> fresh optimizer state, ``last_iter`` -> step 0,
+    ``ema`` -> fresh EMA-clamp buffers; ``ignore.model`` lists top-level
+    param subtrees to keep at their fresh initialization (the reference
+    pops them from the state dict; the functional equivalent is taking the
+    template's leaves)."""
+    keys = set((ignore or {}).get("key", ()) or ())
+    state = restored
+    if "optimizer" in keys:
+        state = state.replace(opt_state=template.opt_state)
+    if "last_iter" in keys:
+        state = state.replace(step=jnp.zeros((), jnp.int32))
+    if "ema" in keys:
+        state = state.replace(ema_buffer=template.ema_buffer,
+                              ema_clip_count=template.ema_clip_count)
+    drop = (ignore or {}).get("model", ()) or ()
+    if drop:
+        params = dict(state.params)
+        for name in drop:
+            if name not in template.params:
+                raise KeyError(f"saver.pretrain.ignore.model: no param "
+                               f"subtree {name!r}")
+            params[name] = template.params[name]
+        state = state.replace(params=params)
+    return state
 
 
 def find_last_checkpoint(save_dir: str) -> Optional[str]:

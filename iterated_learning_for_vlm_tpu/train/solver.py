@@ -128,6 +128,20 @@ class Solver:
             self.state = restore_checkpoint(ckpt_path, self.state)
             self._last_iter = int(self.state.step)
             self.logger.info("restored checkpoint %s at step %d", ckpt_path, self._last_iter)
+        elif config.get("saver", {}).get("pretrain"):
+            # finetune from a pretrained checkpoint with selective state
+            # drops (reference saver.pretrain + modify_state,
+            # prototype/utils/misc.py:520-533)
+            from .checkpoint import modify_state
+
+            pcfg = config.saver.pretrain
+            restored = restore_checkpoint(pcfg["path"], self.state)
+            self.state = modify_state(restored, self.state,
+                                      pcfg.get("ignore", {}))
+            self._last_iter = int(self.state.step)
+            self.logger.info("loaded pretrain %s (ignore=%s), starting at "
+                             "step %d", pcfg["path"],
+                             dict(pcfg.get("ignore", {})), self._last_iter)
 
     # -- builders ------------------------------------------------------------
     def _build_model(self):

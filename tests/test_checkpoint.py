@@ -125,3 +125,39 @@ def test_async_roundtrip_and_k_times(tmp_path):
                                   np.asarray(state.params["w"]))
     wait_for_saves()
     assert (tmp_path / "ck_k_times" / "ckpt_30").exists()
+
+
+def test_modify_state_ignore_semantics():
+    """Reference modify_state (misc.py:520-533): selective drops of a loaded
+    checkpoint before finetuning."""
+    from iterated_learning_for_vlm_tpu.train.checkpoint import modify_state
+
+    template = _tiny_state(seed=1)
+    restored = _tiny_state(seed=0).replace(
+        step=jnp.asarray(99, jnp.int32),
+        ema_buffer=jnp.asarray(7.0, jnp.float32),
+        ema_clip_count=jnp.asarray(3.0, jnp.float32),
+    )
+
+    out = modify_state(restored, template,
+                       {"key": ["optimizer", "last_iter", "ema"],
+                        "model": ["space_dict"]})
+    assert int(out.step) == 0
+    assert float(out.ema_buffer) == pytest.approx(3.125)
+    assert float(out.ema_clip_count) == 0.0
+    # opt state back to fresh (template) moments
+    flat_out = jax.tree_util.tree_leaves(out.opt_state)
+    flat_tpl = jax.tree_util.tree_leaves(template.opt_state)
+    for a, b in zip(flat_out, flat_tpl):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # dropped param subtree re-initialized, kept subtree loaded
+    np.testing.assert_array_equal(np.asarray(out.params["space_dict"]),
+                                  np.asarray(template.params["space_dict"]))
+    np.testing.assert_array_equal(np.asarray(out.params["w"]),
+                                  np.asarray(restored.params["w"]))
+
+    # no-ops leave everything loaded
+    same = modify_state(restored, template, {})
+    assert int(same.step) == 99
+    with pytest.raises(KeyError):
+        modify_state(restored, template, {"model": ["nope"]})
