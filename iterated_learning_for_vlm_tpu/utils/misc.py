@@ -2,8 +2,9 @@
 
 Parity targets from reference ``prototype/utils/misc.py``: ``count_params``
 (167-188), ``count_flops`` (190-280, here an analytic transformer estimate),
-``accuracy`` (464-478), ``mixup``/``cutmix`` (536-590), ``modify_state``
-(520) as checkpoint key filtering.
+``accuracy`` (464-478), ``mixup``/``cutmix`` (536-590); checkpoint key
+prefix stripping (``load_state_model``, 490-508).  The selective-drop
+``modify_state`` (520-533) is ``train/checkpoint.py:modify_state``.
 """
 from __future__ import annotations
 
@@ -75,9 +76,10 @@ def cutmix(images: np.ndarray, labels: np.ndarray, alpha: float,
     return out, labels, labels[perm], lam_adj
 
 
-def modify_state(state: Dict, prefix_strip: str = "module.") -> Dict:
-    """Strip/keep checkpoint key prefixes (reference ``modify_state`` /
-    eval-side ``models/fdt.py:44-50``)."""
+def strip_prefix(state: Dict, prefix_strip: str = "module.") -> Dict:
+    """Strip checkpoint key prefixes (reference ``load_state_model`` /
+    eval-side ``models/fdt.py:44-50``; the selective-drop ``modify_state``
+    lives in ``train/checkpoint.py``)."""
     return {
         (k[len(prefix_strip):] if k.startswith(prefix_strip) else k): v
         for k, v in state.items()
