@@ -58,7 +58,7 @@ def test_soup_average(tmp_path):
 
 def test_misc_utils():
     from iterated_learning_for_vlm_tpu.utils.misc import (
-        accuracy, count_params, mixup, modify_state,
+        accuracy, count_params, mixup, strip_prefix,
     )
 
     p = {"a": jnp.zeros((3, 4)), "b": jnp.zeros((5,))}
@@ -71,7 +71,7 @@ def test_misc_utils():
     imgs = rng.standard_normal((4, 8, 8, 3)).astype(np.float32)
     mixed, la, lb, lam = mixup(imgs, np.arange(4), 0.2, rng)
     assert mixed.shape == imgs.shape and 0 <= lam <= 1
-    assert modify_state({"module.x": 1, "y": 2}) == {"x": 1, "y": 2}
+    assert strip_prefix({"module.x": 1, "y": 2}) == {"x": 1, "y": 2}
 
 
 def test_mask_tokens():
