@@ -95,7 +95,39 @@ def _expand_datasets(names):
     return out
 
 
+def _expand_pretrained_models(entries):
+    """Reference ``--pretrained_model`` expansion (cli.py:117-133): each
+    entry is ``model_config,checkpoint`` or a FILE whose lines are such
+    pairs; ``--model_config``/``--pretrained`` are ignored when given."""
+    pairs = []
+    for entry in entries:
+        if os.path.isfile(entry) and "," not in entry \
+                and not entry.endswith((".yaml", ".yml")):
+            with open(entry) as f:
+                lines = [ln.strip() for ln in f
+                         if ln.strip() and not ln.startswith("#")]
+        else:
+            lines = [entry]
+        for ln in lines:
+            mc, _, pt = ln.partition(",")
+            pairs.append((mc, pt or None))
+    return pairs
+
+
 def cmd_eval(args):
+    if not args.model_config and not getattr(args, "pretrained_model", None):
+        raise SystemExit("eval needs --model_config or --pretrained_model")
+    if getattr(args, "pretrained_model", None):
+        import copy
+
+        recs = []
+        for mc, pt in _expand_pretrained_models(args.pretrained_model):
+            a = copy.copy(args)
+            a.model_config, a.pretrained, a.pretrained_model = mc, pt, None
+            r = cmd_eval(a)
+            recs.extend(r if isinstance(r, list) else [r])
+        return recs
+
     from .builder import apply_language, build_dataset
     from .linear_probe import probe_cache_complete
     from .zeroshot_classification import evaluate_zeroshot_classification
@@ -293,8 +325,8 @@ def build_parser():
     p = argparse.ArgumentParser(prog="ilvlm-eval")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def common(sp):
-        sp.add_argument("--model_config", required=True)
+    def common(sp, config_required=True):
+        sp.add_argument("--model_config", required=config_required)
         sp.add_argument("--model_type", default="cust_clip",
                         choices=["cust_clip", "open_clip"],
                         help="reference TYPE2FUNC surface (models/__init__.py:8-13)."
@@ -313,7 +345,12 @@ def build_parser():
                              "config's initial value)")
 
     e = sub.add_parser("eval")
-    common(e)
+    common(e, config_required=False)
+    e.add_argument("--pretrained_model", nargs="+", default=None,
+                   help="model sweep entries 'model_config.yaml,ckpt' (or a "
+                        "file with one pair per line); overrides "
+                        "--model_config/--pretrained (reference "
+                        "cli.py:117-133)")
     e.add_argument("--dataset", required=True, nargs="+",
                    help="dataset name(s); an entry that is a text file is "
                         "read as one dataset name per line (reference "

@@ -266,3 +266,24 @@ def test_linear_probe_val_split(tmp_path, monkeypatch):
             "--task", "linear_probe", "--val_split", "val",
             "--val_proportion", "0.2",
         ])
+
+
+def test_pretrained_model_sweep(tmp_path, monkeypatch):
+    """--pretrained_model sweeps (model_config, ckpt) pairs from args or a
+    file, overriding --model_config/--pretrained (reference cli.py:117-133)."""
+    from iterated_learning_for_vlm_tpu.eval import builder
+
+    monkeypatch.setattr(builder, "build_dummy", lambda n=8: _tiny_dummy())
+    cfg = _config_file(tmp_path)
+    lst = tmp_path / "models.txt"
+    lst.write_text(f"{cfg}\n{cfg},\n")  # two entries, no checkpoints
+    recs = eval_cli.main([
+        "eval", "--dataset", "dummy", "--batch_size", "8",
+        "--pretrained_model", str(lst), f"{cfg}",
+    ])
+    assert isinstance(recs, list) and len(recs) == 3
+    assert all(r["model"] == cfg for r in recs)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        eval_cli.main(["eval", "--dataset", "dummy"])
