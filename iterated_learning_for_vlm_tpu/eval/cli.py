@@ -33,7 +33,8 @@ def _load_encoder(args):
     if ckpt and "," in ckpt:
         ckpt = ckpt.split(",")
     return load_eval_encoder(args.model_config, ckpt, batch_size=args.batch_size,
-                             sd_temperature=getattr(args, "sd_temperature", None))
+                             sd_temperature=getattr(args, "sd_temperature", None),
+                             model_type=getattr(args, "model_type", "cust_clip"))
 
 
 def _dump(args, dataset, task, metrics, language="en", extra=None):
@@ -157,13 +158,23 @@ def cmd_eval(args):
                 continue
         probe_prefix = None
         if task == "linear_probe" and args.feature_root:
-            # reference feature_root layout: features/<dataset>/<model tag>
-            tag = (os.path.basename(str(args.pretrained).rstrip("/"))
-                   if args.pretrained else "random_init")
+            # reference feature_root layout: features/<dataset>/<model tag>.
+            # The tag folds in the model config, the checkpoint AND the split
+            # names — different models or splits must never share cached
+            # features (a sweep with two 'ckpt_final's would silently score
+            # the first model's features under the second model's name).
+            mc_tag = os.path.splitext(os.path.basename(str(args.model_config)))[0]
+            ckpt_tag = (os.path.basename(str(args.pretrained).rstrip("/"))
+                        if args.pretrained else "random_init")
+            split_tag = f"{args.train_split}-{args.split}"
+            if args.val_split:
+                split_tag += f"-{args.val_split}"
             probe_prefix = os.path.join(
-                args.feature_root, str(dataset).replace("/", "_"), tag)
+                args.feature_root, str(dataset).replace("/", "_"),
+                f"{mc_tag}__{ckpt_tag}__{split_tag}")
         skip_model = (task == "linear_probe" and args.skip_load
-                      and probe_cache_complete(probe_prefix))
+                      and probe_cache_complete(probe_prefix,
+                                               include_val=bool(args.val_split)))
         if encoder is None and not skip_model:
             encoder = _load_encoder(args)
         ds = apply_language(ds, language, lang_root=args.language_root or None)

@@ -24,11 +24,13 @@ def probe_cache_paths(prefix: str, split: str):
     return f"{prefix}_{split}_feats.npy", f"{prefix}_{split}_labels.npy"
 
 
-def probe_cache_complete(prefix: Optional[str]) -> bool:
-    """True when both splits' features are on disk (``--skip_load``)."""
+def probe_cache_complete(prefix: Optional[str], include_val: bool = False) -> bool:
+    """True when every needed split's features are on disk (``--skip_load``);
+    ``include_val`` when an explicit ``--val_split`` will also be read."""
     if not prefix:
         return False
-    return all(os.path.exists(p) for s in ("train", "test")
+    splits = ("train", "test", "val") if include_val else ("train", "test")
+    return all(os.path.exists(p) for s in splits
                for p in probe_cache_paths(prefix, s))
 
 

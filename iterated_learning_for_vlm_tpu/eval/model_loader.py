@@ -48,6 +48,7 @@ def load_eval_encoder(
     batch_size: int = 64,
     transform: str = "ONECROP",
     sd_temperature: Optional[float] = None,
+    model_type: str = "cust_clip",
 ) -> JitEncoder:
     """checkpoint may be a path, a list of paths (averaged soup), or None
     (random init, for smoke tests).
@@ -63,12 +64,16 @@ def load_eval_encoder(
             kwargs["fdt"]["sd_temperature"] = float(sd_temperature)
     model, is_fdt = build_model_from_config(cfg)
     template = init_template_state(model)
+    # --model_type open_clip forces the OpenAI/open_clip layout rename;
+    # cust_clip keeps auto-detection (reference TYPE2FUNC dispatch)
+    layout = "openai" if model_type == "open_clip" else "auto"
+
     def _load_one(path: str):
         if str(path).endswith((".pth", ".pth.tar", ".pt")):
             # reference torch checkpoint: convert layouts on the fly
             from ..tools.torch_checkpoint import load_reference_checkpoint
 
-            return load_reference_checkpoint(str(path))
+            return load_reference_checkpoint(str(path), layout=layout)
         return restore_checkpoint(path, template).params
 
     if checkpoint is None:

@@ -355,3 +355,22 @@ def fused_tiny_attention(
     out = _attend(qkv, bias_sp, heads, head_group, batch_block,
                   max(1, sample_group), s)
     return out[:, :s] if sp != s else out
+
+
+def xla_attention_reference(qkv: jnp.ndarray, heads: int,
+                            bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Plain-XLA packed-QKV attention with the kernel's exact numerics
+    (fp32 logits/softmax, operand-dtype value dot) — the parity baseline
+    shared by the kernel tests and tools/attn_microbench.py."""
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (t.reshape(b, s, heads, hd) for t in (q, k, v))
+    logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * hd ** -0.5
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhc->bqhc", w.astype(qkv.dtype), v)
+    return out.reshape(b, s, d)

@@ -166,12 +166,15 @@ def _looks_like_openai_layout(sd: Dict[str, np.ndarray]) -> bool:
             and not any(k.startswith("encode_text.") for k in sd))
 
 
-def load_reference_checkpoint(path: str) -> Dict[str, Any]:
-    """Load + convert a torch checkpoint, auto-detecting the reference
-    (``encode_text.``-prefixed) vs OpenAI/open_clip (unprefixed text tower)
-    layout — so both ``--model_type cust_clip`` and ``open_clip`` local
-    checkpoints evaluate through one path."""
+def load_reference_checkpoint(path: str, layout: str = "auto") -> Dict[str, Any]:
+    """Load + convert a torch checkpoint.
+
+    ``layout``: ``auto`` detects the reference (``encode_text.``-prefixed)
+    vs OpenAI/open_clip (unprefixed text tower) layout; ``openai`` forces
+    the OpenAI/open_clip rename (``--model_type open_clip``); ``reference``
+    skips it — so a checkpoint that fools the heuristic can be forced
+    either way."""
     sd = load_torch_state_dict(path)
-    if _looks_like_openai_layout(sd):
+    if layout == "openai" or (layout == "auto" and _looks_like_openai_layout(sd)):
         sd = _openai_to_reference_keys(sd)
     return convert_reference_state_dict(sd)

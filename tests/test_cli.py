@@ -232,7 +232,8 @@ def test_linear_probe_feature_cache_and_skip_load(tmp_path, monkeypatch):
     assert "acc1" in rec["metrics"]
     import os
 
-    prefix = os.path.join(froot, "dummy", "random_init")
+    # key folds in model config + ckpt tag + split names (no sweep collisions)
+    prefix = os.path.join(froot, "dummy", "model__random_init__train-test")
     for s in ("train", "test"):
         assert os.path.exists(f"{prefix}_{s}_feats.npy")
         assert os.path.exists(f"{prefix}_{s}_labels.npy")

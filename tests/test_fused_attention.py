@@ -12,22 +12,11 @@ import numpy as np
 import pytest
 
 from iterated_learning_for_vlm_tpu.models.layers import MultiheadAttention
-from iterated_learning_for_vlm_tpu.ops.fused_attention import fused_tiny_attention
+from iterated_learning_for_vlm_tpu.ops.fused_attention import (
+    fused_tiny_attention, xla_attention_reference,
+)
 
 
-def _xla_attention(qkv, heads, bias):
-    b, s, three_d = qkv.shape
-    d = three_d // 3
-    hd = d // heads
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q, k, v = (t.reshape(b, s, heads, hd) for t in (q, k, v))
-    logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * hd ** -0.5
-    if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
-    w = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhc->bqhc", w.astype(qkv.dtype), v)
-    return out.reshape(b, s, d)
 
 
 def _causal(s):
@@ -48,7 +37,7 @@ def test_fused_matches_xla_fwd_and_grad(shape, causal, group):
     qkv = jax.random.normal(key, (b, s, 3 * d), jnp.float32)
     bias = _causal(s) if causal else None
 
-    ref = _xla_attention(qkv, h, bias)
+    ref = xla_attention_reference(qkv, h, bias)
     got = fused_tiny_attention(qkv, h, bias=bias, head_group=group, batch_block=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
@@ -57,7 +46,7 @@ def test_fused_matches_xla_fwd_and_grad(shape, causal, group):
             x, h, bias=bias, head_group=group, batch_block=4)))
 
     def loss_ref(x):
-        return jnp.sum(jnp.sin(_xla_attention(x, h, bias)))
+        return jnp.sum(jnp.sin(xla_attention_reference(x, h, bias)))
 
     g_got = jax.grad(loss_fused)(qkv)
     g_ref = jax.grad(loss_ref)(qkv)
@@ -127,7 +116,7 @@ def test_fused_attention_under_dp_sharded_jit():
         return jnp.sum(jnp.sin(fused_tiny_attention(x, h, head_group=2,
                                                     batch_block=2)))
 
-    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(_xla_attention(x, h, None))))(qkv)
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(xla_attention_reference(x, h, None))))(qkv)
     with mesh:
         g = jax.jit(jax.grad(loss), in_shardings=shardings)(qkv_sharded)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-5, rtol=5e-5)
@@ -148,12 +137,12 @@ def test_sample_group_matches_xla_fwd_and_grad(shape, causal, group, sg):
     qkv = jax.random.normal(jax.random.PRNGKey(5), (b, s, 3 * d), jnp.float32)
     bias = _causal(s) if causal else None
 
-    ref = _xla_attention(qkv, h, bias)
+    ref = xla_attention_reference(qkv, h, bias)
     got = jax.jit(lambda x: fused_tiny_attention(
         x, h, bias=bias, head_group=group, batch_block=8, sample_group=sg))(qkv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
-    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(_xla_attention(x, h, bias))))(qkv)
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(xla_attention_reference(x, h, bias))))(qkv)
     g_got = jax.jit(jax.grad(lambda x: jnp.sum(jnp.sin(fused_tiny_attention(
         x, h, bias=bias, head_group=group, batch_block=8, sample_group=sg)))))(qkv)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
@@ -175,6 +164,6 @@ def test_group_mask_jit_matches_eager_small_padded_seq():
     np.testing.assert_array_equal(np.asarray(eager), np.asarray(jitted))
 
     qkv = jax.random.normal(jax.random.PRNGKey(6), (4, 10, 3 * 2 * 8), jnp.float32)
-    ref = _xla_attention(qkv, 2, bias)
+    ref = xla_attention_reference(qkv, 2, bias)
     got = jax.jit(lambda x: fused_tiny_attention(x, 2, bias=bias, head_group=2))(qkv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)

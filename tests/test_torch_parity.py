@@ -176,6 +176,22 @@ def test_openai_layout_autodetect_and_convert(parity_setup):
     assert _looks_like_openai_layout(oa) and not _looks_like_openai_layout(sd)
 
     converted = convert_reference_state_dict(_openai_to_reference_keys(oa))
+    # --model_type open_clip forces the rename even if the heuristic is
+    # fooled; 'reference' skips it (load_reference_checkpoint layout arg)
+    import numpy as _np
+    import torch as _torch
+
+    from iterated_learning_for_vlm_tpu.tools.torch_checkpoint import (
+        load_reference_checkpoint,
+    )
+
+    ckpt_path = "/tmp/_oa_parity_ckpt.pth"
+    _torch.save({"model": {k: _torch.from_numpy(_np.asarray(v))
+                           for k, v in oa.items()}}, ckpt_path)
+    forced = load_reference_checkpoint(ckpt_path, layout="openai")
+    assert "text" in forced and "text_projection" in forced["text"]
+    skipped = load_reference_checkpoint(ckpt_path, layout="reference")
+    assert "text" not in skipped  # unprefixed keys don't map without rename
     flat_c = traverse_util.flatten_dict(converted)
     flat_r = traverse_util.flatten_dict(variables["params"])
     assert set(flat_c) == set(flat_r)

@@ -19,22 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
-from iterated_learning_for_vlm_tpu.ops.fused_attention import fused_tiny_attention
+from iterated_learning_for_vlm_tpu.ops.fused_attention import (
+    fused_tiny_attention, xla_attention_reference,
+)
 
 
-def xla_attention(qkv, heads, bias):
-    b, s, three_d = qkv.shape
-    d = three_d // 3
-    hd = d // heads
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q, k, v = (t.reshape(b, s, heads, hd) for t in (q, k, v))
-    logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * hd ** -0.5
-    if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
-    w = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bkhc->bqhc", w.astype(qkv.dtype), v)
-    return out.reshape(b, s, d)
 
 
 def timeit(fn, *args, steps=30, warmup=5):
@@ -58,10 +47,10 @@ def sweep(name, b, s, heads, hd, causal, configs):
     def grad_of(f):
         return jax.jit(jax.grad(lambda x: jnp.sum(f(x).astype(jnp.float32))))
 
-    xf = jax.jit(lambda x: xla_attention(x, heads, bias))
+    xf = jax.jit(lambda x: xla_attention_reference(x, heads, bias))
     print(f"-- {name}: B={b} S={s} H={heads} hd={hd} causal={causal}")
     print(f"   xla      : fwd {timeit(xf, qkv):7.3f} ms   "
-          f"fwd+bwd {timeit(grad_of(lambda x: xla_attention(x, heads, bias)), qkv):7.3f} ms")
+          f"fwd+bwd {timeit(grad_of(lambda x: xla_attention_reference(x, heads, bias)), qkv):7.3f} ms")
     for g, sg in configs:
         f = jax.jit(lambda x, g=g, sg=sg: fused_tiny_attention(
             x, heads, bias=bias, head_group=g, sample_group=sg))
