@@ -49,6 +49,19 @@ def test_swin_mlp_tiny_forward_shifted():
     assert "qkv" not in names and "spatial_mlp" in names
 
 
+def test_swin_factory_structural_overrides():
+    """Config kwargs can reshape the tower (the reference's Swin YAML fields:
+    DEPTHS/NUM_HEADS/WINDOW_SIZE/IMG_SIZE...); embed_dim keeps its CLIP
+    output-dim meaning."""
+    from iterated_learning_for_vlm_tpu.models.swin import swin_b_v2
+
+    cfg = swin_b_v2(embed_dim=64, input_resolution=64, window_size=4,
+                    depths=[1, 1], num_heads=[2, 4])
+    assert cfg.output_dim == 64 and cfg.embed_dim == 128  # stage-0 channels
+    assert cfg.depths == (1, 1) and cfg.num_heads == (2, 4)
+    assert cfg.input_resolution == 64 and cfg.window_size == 4
+
+
 def test_swin_mlp_registry_factory():
     from iterated_learning_for_vlm_tpu.models import model_entry
 
