@@ -53,3 +53,31 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sh = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def host_local_to_global(batch: Any, mesh: Mesh) -> Any:
+    """Per-process local batch chunks -> one globally batch-sharded array.
+
+    The multi-host ingestion contract (README runbook): every host's loader
+    reads a disjoint shard split (``split_shards(rank=process_index)``) and
+    contributes its rows of the global batch; this assembles them without
+    any cross-host copy (``jax.make_array_from_process_local_data``).
+    Works single-process too (equivalent to :func:`shard_batch`)."""
+    import numpy as np
+
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
+
+
+def replicate_from_each_process(tree: Any, mesh: Mesh) -> Any:
+    """Replicate identical per-process values onto a multi-process mesh
+    (params initialised with the same seed on every host — the SPMD
+    replacement for the reference's rank-0 state-dict broadcast)."""
+    import numpy as np
+
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)

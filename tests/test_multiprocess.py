@@ -1,0 +1,67 @@
+"""TRUE multi-host validation: separate OS processes + jax.distributed.
+
+The in-process 8-device mesh covers multi-chip semantics; these tests cover
+what it cannot — the actual multi-host path: ``jax.distributed.initialize``,
+per-process batch contribution (``host_local_to_global``), replicated state
+built WITHOUT a rank-0 broadcast, and cross-process collectives (Gloo on
+CPU — the stand-in for ICI/DCN).  Reference counterpart: torchrun's
+process-per-GPU DDP (``run.sh``, ``torch_ddp_dist.py:29-67``).
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+TOOL = os.path.join(os.path.dirname(__file__), "..", "tools", "mp_host_dryrun.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env():
+    env = dict(os.environ)
+    # the workers force their own platform/device flags
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
+
+def _parse(out: str):
+    loss = float(re.search(r"MP_LOSS ([\d.eE+-]+)", out).group(1))
+    csum = float(re.search(r"MP_CHECKSUM ([\d.eE+-]+)", out).group(1))
+    return loss, csum
+
+
+def _run_cluster(num_processes: int, devices_per_process: int, port: int):
+    procs = [
+        subprocess.Popen(
+            [sys.executable, TOOL, "--process-id", str(i),
+             "--num-processes", str(num_processes), "--port", str(port),
+             "--devices-per-process", str(devices_per_process)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_clean_env(), cwd=os.path.dirname(TOOL),
+        )
+        for i in range(num_processes)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-2000:]
+        outs.append(_parse(out))
+    return outs
+
+
+@pytest.mark.slow  # spawns 3 fresh python processes, each compiles the step
+def test_two_process_step_matches_single_process():
+    port = _free_port()
+    two = _run_cluster(2, 2, port)
+    (ref_loss, ref_csum), = _run_cluster(1, 4, _free_port())
+    for loss, csum in two:
+        assert loss == pytest.approx(ref_loss, abs=1e-4)
+        assert csum == pytest.approx(ref_csum, rel=1e-5)

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Multi-HOST SPMD dryrun worker: one OS process per simulated host.
+
+The in-process 8-device CPU mesh (tests, ``make dryrun``) validates
+multi-CHIP semantics but runs a single process — it cannot catch bugs in
+the true multi-host path: ``jax.distributed`` init, per-process data
+ingestion (`host_local_to_global`), cross-process collectives (Gloo on
+CPU; ICI/DCN on pods) and replicated-state construction without a rank-0
+broadcast.  This worker runs ONE real train step on a tiny CLIP-FDT as one
+process of an N-process cluster; ``tests/test_multiprocess.py`` spawns two
+of them and pins the loss/updated params to a single-process run of the
+same global batch.  Reference counterpart: torchrun's process-per-GPU DDP
+(``run.sh`` + ``torch_ddp_dist.py``).
+
+Usage (each simulated host):
+    python tools/mp_host_dryrun.py --process-id I --num-processes N \
+        --port 12399 [--devices-per-process 2] [--global-batch 8]
+Prints ``MP_LOSS <float>`` and ``MP_CHECKSUM <float>`` for the harness.
+"""
+import argparse
+import os
+import sys
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--port", type=int, required=True)
+    p.add_argument("--devices-per-process", type=int, default=2)
+    p.add_argument("--global-batch", type=int, default=8)
+    args = p.parse_args()
+
+    # platform + virtual device forcing must precede first jax device use
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devices_per_process}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{args.port}",
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+    import __graft_entry__ as graft
+    from iterated_learning_for_vlm_tpu.parallel.mesh import (
+        create_mesh, host_local_to_global, replicate_from_each_process,
+    )
+    from iterated_learning_for_vlm_tpu.train.optim import (
+        adamw_init, build_wd_tree, trainable_mask_tree,
+    )
+    from iterated_learning_for_vlm_tpu.train.schedule import cosine
+    from iterated_learning_for_vlm_tpu.train.step import make_train_step
+    from iterated_learning_for_vlm_tpu.train.train_state import TrainState
+
+    assert jax.process_count() == args.num_processes
+    mesh = create_mesh(model_parallel=1)  # dp over ALL processes' devices
+
+    model = graft._flagship_model(tiny=True)
+    b = args.global_batch
+    res = model.vision_cfg.input_resolution
+    ctx = model.text_cfg.context_length
+    rng = np.random.default_rng(0)  # same GLOBAL batch on every process
+    gbatch = {
+        "image": rng.standard_normal((b, res, res, 3), dtype=np.float32),
+        "tokens": rng.integers(1, 49407, (b, ctx)).astype(np.int32),
+        "pad_mask": np.zeros((b, ctx), np.float32),
+    }
+    # each process contributes ITS rows (the multi-host loader contract)
+    lo = args.process_id * (b // args.num_processes)
+    hi = lo + b // args.num_processes
+    local = {k: v[lo:hi] for k, v in gbatch.items()}
+    batch = host_local_to_global(local, mesh)
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(gbatch["image"][:1]), jnp.asarray(gbatch["tokens"][:1]),
+        jnp.asarray(gbatch["pad_mask"][:1]),
+    )["params"]
+    wd_tree = build_wd_tree(params, 0.1, {"bias": {"weight_decay": 0}})
+    state = TrainState.create(
+        params, adamw_init(params), trainable_mask_tree(params, frozenset()),
+        params["space_dict"],
+    )
+    state = replicate_from_each_process(state, mesh)
+
+    step_fn = make_train_step(
+        model, cosine(5e-5, 5e-4, 0.0, 10, 100), wd_tree, is_fdt=True,
+        grad_clip_type="logit_scale_param_value", grad_clip_value=3.0,
+        grad_clip_max_value=6.0, donate=False,
+    )
+    with mesh:
+        new_state, metrics = step_fn(state, batch, jnp.asarray(1000.0))
+    loss = float(metrics["loss"])
+    checksum = float(sum(
+        jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+        for leaf in jax.tree.leaves(new_state.params)))
+    print(f"MP_LOSS {loss:.6f}", flush=True)
+    print(f"MP_CHECKSUM {checksum:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
