@@ -293,7 +293,14 @@ def prefetch_to_device(iterator: Iterator, mesh=None, size: int = 2) -> Iterator
         try:
             for batch in iterator:
                 if sharding is not None:
-                    batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+                    # each process contributes ITS loader's rows of the
+                    # global batch — device_put onto a global sharding only
+                    # works single-process (non-addressable devices on a
+                    # pod); this form is identical there and correct on
+                    # multi-host (global batch = per-host rows x hosts)
+                    batch = jax.tree.map(
+                        lambda x: jax.make_array_from_process_local_data(
+                            sharding, np.asarray(x)), batch)
                 else:
                     batch = jax.tree.map(jax.device_put, batch)
                 q.put(batch)

@@ -50,9 +50,27 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def put_global(x: Any, sharding: NamedSharding) -> Any:
+    """``device_put`` that also works on multi-process meshes.
+
+    On a pod, ``jax.device_put`` onto a sharding that spans non-addressable
+    devices fails; each process must materialize only its addressable
+    shards.  Every process holds the full host value (identically-seeded
+    init — the SPMD replacement for the reference's rank-0 broadcast,
+    ``torch_ddp_dist.py:52-67``), so the callback slices it per shard.
+    Single-process: plain ``device_put`` (zero-copy paths preserved)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import numpy as np
+
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sh = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: put_global(x, sh), tree)
 
 
 def host_local_to_global(batch: Any, mesh: Mesh) -> Any:
@@ -71,13 +89,3 @@ def host_local_to_global(batch: Any, mesh: Mesh) -> Any:
         batch)
 
 
-def replicate_from_each_process(tree: Any, mesh: Mesh) -> Any:
-    """Replicate identical per-process values onto a multi-process mesh
-    (params initialised with the same seed on every host — the SPMD
-    replacement for the reference's rank-0 state-dict broadcast)."""
-    import numpy as np
-
-    sh = replicated_sharding(mesh)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-        tree)

@@ -63,8 +63,10 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
         from .mesh import replicate_tree
 
         return replicate_tree(params, mesh)
+    from .mesh import put_global
+
     shardings = param_shardings(params, mesh)
-    return jax.tree.map(jax.device_put, params, shardings)
+    return jax.tree.map(put_global, params, shardings)
 
 
 def shard_state(state, mesh: Mesh):
@@ -75,27 +77,33 @@ def shard_state(state, mesh: Mesh):
         from .mesh import replicate_tree
 
         return replicate_tree(state, mesh)
+    from .mesh import put_global
+
     p_sh = param_shardings(state.params, mesh)
     repl = NamedSharding(mesh, P())
 
     def put_like(tree, shardings):
-        return jax.tree.map(jax.device_put, tree, shardings)
+        return jax.tree.map(put_global, tree, shardings)
 
     new_opt = dict(state.opt_state)
     new_opt["mu"] = put_like(state.opt_state["mu"], p_sh)
     new_opt["nu"] = put_like(state.opt_state["nu"], p_sh)
-    new_opt["count"] = jax.tree.map(lambda x: jax.device_put(x, repl),
+    new_opt["count"] = jax.tree.map(lambda x: put_global(x, repl),
                                     state.opt_state["count"])
     sd_sharding = NamedSharding(mesh, P(MODEL_AXIS, None))
     return state.replace(
         params=put_like(state.params, p_sh),
         opt_state=new_opt,
-        trainable=jax.tree.map(lambda x: jax.device_put(x, repl), state.trainable),
-        stored_codebook=jax.device_put(state.stored_codebook, sd_sharding)
+        trainable=jax.tree.map(lambda x: put_global(x, repl), state.trainable),
+        stored_codebook=put_global(state.stored_codebook, sd_sharding)
         if state.stored_codebook.ndim == 2 and state.stored_codebook.shape[0] > 1
-        else jax.device_put(state.stored_codebook, repl),
-        step=jax.device_put(state.step, repl),
-        hold_codebook=jax.device_put(state.hold_codebook, repl),
-        ema_buffer=jax.device_put(state.ema_buffer, repl),
-        ema_clip_count=jax.device_put(state.ema_clip_count, repl),
+        else put_global(state.stored_codebook, repl),
+        step=put_global(state.step, repl),
+        hold_codebook=put_global(state.hold_codebook, repl),
+        ema_buffer=put_global(state.ema_buffer, repl),
+        ema_clip_count=put_global(state.ema_clip_count, repl),
+        spectral_u=jax.tree.map(lambda x: put_global(x, repl), state.spectral_u)
+        if state.spectral_u is not None else None,
+        batch_stats=jax.tree.map(lambda x: put_global(x, repl), state.batch_stats)
+        if state.batch_stats is not None else None,
     )

@@ -38,12 +38,14 @@ def _parse(out: str):
     return loss, csum
 
 
-def _run_cluster(num_processes: int, devices_per_process: int, port: int):
+def _run_cluster(num_processes: int, devices_per_process: int, port: int,
+                 model_parallel: int = 1):
     procs = [
         subprocess.Popen(
             [sys.executable, TOOL, "--process-id", str(i),
              "--num-processes", str(num_processes), "--port", str(port),
-             "--devices-per-process", str(devices_per_process)],
+             "--devices-per-process", str(devices_per_process),
+             "--model-parallel", str(model_parallel)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=_clean_env(), cwd=os.path.dirname(TOOL),
         )
@@ -57,11 +59,16 @@ def _run_cluster(num_processes: int, devices_per_process: int, port: int):
     return outs
 
 
-@pytest.mark.slow  # spawns 3 fresh python processes, each compiles the step
+@pytest.mark.slow  # spawns 5 fresh python processes, each compiles the step
 def test_two_process_step_matches_single_process():
-    port = _free_port()
-    two = _run_cluster(2, 2, port)
+    two = _run_cluster(2, 2, _free_port())
     (ref_loss, ref_csum), = _run_cluster(1, 4, _free_port())
     for loss, csum in two:
         assert loss == pytest.approx(ref_loss, abs=1e-4)
         assert csum == pytest.approx(ref_csum, rel=1e-5)
+    # dp2 x tp2 across the SAME two processes: Megatron kernel splits +
+    # row-sharded codebook placed via put_global, collectives cross Gloo
+    two_tp = _run_cluster(2, 2, _free_port(), model_parallel=2)
+    for loss, csum in two_tp:
+        assert loss == pytest.approx(ref_loss, abs=1e-3)
+        assert csum == pytest.approx(ref_csum, rel=1e-4)

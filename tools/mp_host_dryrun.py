@@ -29,6 +29,9 @@ def main():
     p.add_argument("--port", type=int, required=True)
     p.add_argument("--devices-per-process", type=int, default=2)
     p.add_argument("--global-batch", type=int, default=8)
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tp ways (Megatron splits + row-sharded codebook "
+                        "across the cluster's devices)")
     args = p.parse_args()
 
     # platform + virtual device forcing must precede first jax device use
@@ -52,8 +55,9 @@ def main():
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
     import __graft_entry__ as graft
     from iterated_learning_for_vlm_tpu.parallel.mesh import (
-        create_mesh, host_local_to_global, replicate_from_each_process,
+        create_mesh, host_local_to_global,
     )
+    from iterated_learning_for_vlm_tpu.parallel.sharding_rules import shard_state
     from iterated_learning_for_vlm_tpu.train.optim import (
         adamw_init, build_wd_tree, trainable_mask_tree,
     )
@@ -62,7 +66,8 @@ def main():
     from iterated_learning_for_vlm_tpu.train.train_state import TrainState
 
     assert jax.process_count() == args.num_processes
-    mesh = create_mesh(model_parallel=1)  # dp over ALL processes' devices
+    # dp (and optionally tp) over ALL processes' devices
+    mesh = create_mesh(model_parallel=args.model_parallel)
 
     model = graft._flagship_model(tiny=True)
     b = args.global_batch
@@ -90,7 +95,7 @@ def main():
         params, adamw_init(params), trainable_mask_tree(params, frozenset()),
         params["space_dict"],
     )
-    state = replicate_from_each_process(state, mesh)
+    state = shard_state(state, mesh)  # replicated (dp) / tp-sharded, via put_global
 
     step_fn = make_train_step(
         model, cosine(5e-5, 5e-4, 0.0, 10, 100), wd_tree, is_fdt=True,
