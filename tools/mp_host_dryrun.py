@@ -32,6 +32,11 @@ def main():
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tp ways (Megatron splits + row-sharded codebook "
                         "across the cluster's devices)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="also exercise the multi-host Orbax path: save the "
+                        "stepped state from ALL processes (the checkpointer "
+                        "coordinates the write), restore it, and print "
+                        "MP_RESTORED_STEP")
     args = p.parse_args()
 
     # platform + virtual device forcing must precede first jax device use
@@ -110,6 +115,23 @@ def main():
         for leaf in jax.tree.leaves(new_state.params)))
     print(f"MP_LOSS {loss:.6f}", flush=True)
     print(f"MP_CHECKSUM {checksum:.4f}", flush=True)
+
+    if args.checkpoint_dir:
+        # multi-host checkpointing contract (README runbook): save_checkpoint
+        # is called on EVERY process; Orbax coordinates the distributed write
+        from iterated_learning_for_vlm_tpu.train.checkpoint import (
+            restore_checkpoint, save_checkpoint, wait_for_saves,
+        )
+
+        save_checkpoint(args.checkpoint_dir, new_state, 1)
+        wait_for_saves()
+        restored = restore_checkpoint(
+            os.path.join(args.checkpoint_dir, "ckpt_1"), new_state)
+        r_checksum = float(sum(
+            jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+            for leaf in jax.tree.leaves(restored.params)))
+        assert abs(r_checksum - checksum) < 1e-2, (r_checksum, checksum)
+        print(f"MP_RESTORED_STEP {int(restored.step)}", flush=True)
 
 
 if __name__ == "__main__":
