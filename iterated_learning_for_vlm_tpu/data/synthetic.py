@@ -35,7 +35,12 @@ class SyntheticClipData:
                  seed: int = 0, num_batches: int = 100, tokenizer=None,
                  correlated: bool = False, num_classes: int = 64,
                  noise_scale: float = 0.3, two_views: bool = False,
-                 mask_type: str = None):
+                 mask_type: str = None, rank: int = 0):
+        # rank: disjoint per-HOST sample streams on a multi-process cluster
+        # (class PROTOTYPES stay derived from `seed` alone — shared across
+        # hosts, matching the shard loaders' disjoint-split semantics).
+        # rank 0 keeps the exact historical (seed, index) stream.
+        self.rank = rank
         self.batch_size = batch_size
         self.image_size = image_size
         self.context_length = context_length
@@ -69,7 +74,8 @@ class SyntheticClipData:
         return base + self.noise_scale * rng.standard_normal(base.shape).astype(np.float32)
 
     def batch(self, index: int = 0) -> Dict[str, np.ndarray]:
-        rng = np.random.default_rng((self.seed, index))
+        key = (self.seed, index) if self.rank == 0 else (self.seed, self.rank, index)
+        rng = np.random.default_rng(key)
         if self.correlated:
             ks = rng.permutation(self.num_classes)[: self.batch_size]
             if len(ks) < self.batch_size:  # classes < batch: sample w/ repeats

@@ -121,8 +121,12 @@ class TextTransformer(nn.Module):
 
 # Factories mirroring reference dims (``text_transformer.py:341-368``).
 def text_base(embed_dim=512, **kw) -> TextConfig:
-    return TextConfig(width=512, heads=8, layers=12, embed_dim=embed_dim, **kw)
+    d = dict(width=512, heads=8, layers=12, embed_dim=embed_dim)
+    d.update(kw)  # explicit config kwargs override the factory dims
+    return TextConfig(**d)
 
 
 def text_large(embed_dim=768, **kw) -> TextConfig:
-    return TextConfig(width=768, heads=12, layers=12, embed_dim=embed_dim, **kw)
+    d = dict(width=768, heads=12, layers=12, embed_dim=embed_dim)
+    d.update(kw)
+    return TextConfig(**d)

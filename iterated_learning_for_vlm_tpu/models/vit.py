@@ -137,17 +137,28 @@ class VisionTransformer(nn.Module):
 
 # Factory configs mirroring the reference factory dims
 # (``visual_transformer.py:97-168``).
+def _cfg(defaults: dict, kw: dict) -> VisionConfig:
+    # explicit config kwargs override the factory dims (tiny CPU-cluster
+    # smokes, ablations) — same pattern as the Swin factories
+    defaults.update(kw)
+    return VisionConfig(**defaults)
+
+
 def vit_b32(embed_dim=512, **kw) -> VisionConfig:
-    return VisionConfig(patch_size=32, width=768, layers=12, heads=12, embed_dim=embed_dim, **kw)
+    return _cfg(dict(patch_size=32, width=768, layers=12, heads=12,
+                     embed_dim=embed_dim), kw)
 
 
 def vit_b16(embed_dim=512, **kw) -> VisionConfig:
-    return VisionConfig(patch_size=16, width=768, layers=12, heads=12, embed_dim=embed_dim, **kw)
+    return _cfg(dict(patch_size=16, width=768, layers=12, heads=12,
+                     embed_dim=embed_dim), kw)
 
 
 def vit_l14(embed_dim=768, **kw) -> VisionConfig:
-    return VisionConfig(patch_size=14, width=1024, layers=24, heads=16, embed_dim=embed_dim, **kw)
+    return _cfg(dict(patch_size=14, width=1024, layers=24, heads=16,
+                     embed_dim=embed_dim), kw)
 
 
 def vit_l16(embed_dim=768, **kw) -> VisionConfig:
-    return VisionConfig(patch_size=16, width=1024, layers=24, heads=16, embed_dim=embed_dim, **kw)
+    return _cfg(dict(patch_size=16, width=1024, layers=24, heads=16,
+                     embed_dim=embed_dim), kw)

@@ -25,12 +25,39 @@ def main():
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for multi-host pods")
+    parser.add_argument("--coordinator", default=None,
+                        help="with --multihost: explicit coordinator "
+                             "'host:port' for clusters without platform "
+                             "auto-discovery (e.g. the simulated "
+                             "multi-process CPU cluster; TPU pods need none)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform via the config API (the "
+                             "TPU plugin can override the env var); e.g. "
+                             "--platform cpu for the simulated cluster")
+    parser.add_argument("--cpu_devices", type=int, default=None,
+                        help="with --platform cpu: virtual device count")
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
 
     if args.multihost:
         import jax
 
-        jax.distributed.initialize()
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        else:
+            jax.distributed.initialize()
 
     from iterated_learning_for_vlm_tpu import enable_compilation_cache
     from iterated_learning_for_vlm_tpu.train.solver import Solver
