@@ -39,8 +39,11 @@ def _parse(out: str):
 
 
 def _run_cluster(num_processes: int, devices_per_process: int, port: int,
-                 model_parallel: int = 1, checkpoint_dir: str = None):
+                 model_parallel: int = 1, checkpoint_dir: str = None,
+                 fused_kernels: bool = False):
     extra = ["--checkpoint-dir", checkpoint_dir] if checkpoint_dir else []
+    if fused_kernels:
+        extra.append("--fused-kernels")
     procs = [
         subprocess.Popen(
             [sys.executable, TOOL, "--process-id", str(i),
@@ -77,5 +80,18 @@ def test_two_process_step_matches_single_process():
     # box, see verify notes.)
     two_tp = _run_cluster(2, 2, _free_port(), model_parallel=2)
     for loss, csum in two_tp:
+        assert loss == pytest.approx(ref_loss, abs=1e-3)
+        assert csum == pytest.approx(ref_csum, rel=1e-4)
+
+
+@pytest.mark.slow  # interpret-mode Pallas compiles in 3 fresh processes
+def test_pallas_kernels_cross_process():
+    """Both Pallas kernels' custom_partitioning SPMD rules run the
+    shard-local lowering in every process of a 2-process cluster and match
+    the single-process result."""
+    two = _run_cluster(2, 2, _free_port(), fused_kernels=True)
+    (ref_loss, ref_csum), = _run_cluster(1, 4, _free_port(),
+                                         fused_kernels=True)
+    for loss, csum in two:
         assert loss == pytest.approx(ref_loss, abs=1e-3)
         assert csum == pytest.approx(ref_csum, rel=1e-4)

@@ -32,6 +32,10 @@ def main():
     p.add_argument("--model-parallel", type=int, default=1,
                    help="tp ways (Megatron splits + row-sharded codebook "
                         "across the cluster's devices)")
+    p.add_argument("--fused-kernels", action="store_true",
+                   help="enable both Pallas kernels (interpret mode on CPU) "
+                        "so their custom_partitioning SPMD rules run the "
+                        "shard-local lowering in every process")
     p.add_argument("--checkpoint-dir", default=None,
                    help="also exercise the multi-host Orbax path: save the "
                         "stepped state from ALL processes (the checkpointer "
@@ -74,7 +78,24 @@ def main():
     # dp (and optionally tp) over ALL processes' devices
     mesh = create_mesh(model_parallel=args.model_parallel)
 
-    model = graft._flagship_model(tiny=True)
+    if args.fused_kernels:
+        from iterated_learning_for_vlm_tpu.models import (
+            CLIPFDT, FDTConfig, TextConfig, VisionConfig,
+        )
+
+        model = CLIPFDT(
+            vision_cfg=VisionConfig(input_resolution=32, patch_size=16,
+                                    width=64, layers=2, heads=2, embed_dim=32,
+                                    fused_attn=True),
+            text_cfg=TextConfig(context_length=16, width=64, heads=2,
+                                layers=2, embed_dim=32),
+            fdt_cfg=FDTConfig(sd_num=128, sd_dim=32, raw_img_ft_dim=64,
+                              raw_txt_ft_dim=64, sd_temperature=1000.0,
+                              sparsemax_method="bisect",
+                              use_fused_kernel=True),
+        )
+    else:
+        model = graft._flagship_model(tiny=True)
     b = args.global_batch
     res = model.vision_cfg.input_resolution
     ctx = model.text_cfg.context_length
