@@ -151,7 +151,7 @@ def test_text_tower_parity(parity_setup):
     np.testing.assert_allclose(ours, ref, atol=2e-4)
 
 
-def test_openai_layout_autodetect_and_convert(parity_setup):
+def test_openai_layout_autodetect_and_convert(parity_setup, tmp_path):
     """OpenAI/open_clip layout (unprefixed text tower, bare text_projection)
     converts to the same flax tree as the reference layout (--model_type
     open_clip path)."""
@@ -185,7 +185,7 @@ def test_openai_layout_autodetect_and_convert(parity_setup):
         load_reference_checkpoint,
     )
 
-    ckpt_path = "/tmp/_oa_parity_ckpt.pth"
+    ckpt_path = str(tmp_path / "oa_parity_ckpt.pth")
     _torch.save({"model": {k: _torch.from_numpy(_np.asarray(v))
                            for k, v in oa.items()}}, ckpt_path)
     forced = load_reference_checkpoint(ckpt_path, layout="openai")
