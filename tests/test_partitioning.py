@@ -148,3 +148,32 @@ def test_fused_attention_sample_group_sharded_matches_unsharded(b, n_dev, batch_
     ref_g = jax.jit(g)(qkv)
     out_g = jax.jit(g, in_shardings=sh)(jax.device_put(qkv, sh))
     np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref_g), atol=1e-4)
+
+
+def test_put_global_and_host_local_single_process_equivalence():
+    """Single-process: put_global == device_put; host_local_to_global ==
+    shard_batch (the multi-process forms are pinned by
+    tests/test_multiprocess.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iterated_learning_for_vlm_tpu.parallel.mesh import (
+        create_mesh, host_local_to_global, put_global, shard_batch,
+    )
+
+    mesh = create_mesh(8)
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    sh = NamedSharding(mesh, P("data"))
+    a = put_global(jnp.asarray(x), sh)
+    b = jax.device_put(jnp.asarray(x), sh)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.sharding == b.sharding
+
+    batch = {"image": x, "tokens": np.arange(8, dtype=np.int32)[:, None]}
+    g1 = host_local_to_global(batch, mesh)
+    g2 = shard_batch(batch, mesh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(g1[k]), np.asarray(g2[k]))
+        assert g1[k].sharding.spec == g2[k].sharding.spec
