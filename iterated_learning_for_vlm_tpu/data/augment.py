@@ -143,8 +143,21 @@ _RECIPES = {
 }
 
 
-def build_common_augmentation(name: str):
-    """Name-compatible entry point (reference ``build_common_augmentation``)."""
+def build_common_augmentation(name: str, image_size: int = None):
+    """Name-compatible entry point (reference ``build_common_augmentation``).
+
+    ``image_size`` overrides the recipes' 224 output (the reference is
+    hard-coded to 224; models at other resolutions need matching crops —
+    the solver threads ``vision_cfg.input_resolution`` through)."""
     if name not in _RECIPES:
         raise KeyError(f"unknown augmentation recipe {name!r}; known: {sorted(_RECIPES)}")
-    return _RECIPES[name]
+    fn = _RECIPES[name]
+    if not image_size or image_size == 224:
+        return fn
+    import functools
+
+    if fn is onecrop:
+        # keep the reference's 256/224 resize-to-crop ratio
+        return functools.partial(onecrop, resize=round(image_size * 256 / 224),
+                                 size=image_size)
+    return functools.partial(fn, size=image_size)

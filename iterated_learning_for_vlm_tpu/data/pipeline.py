@@ -155,7 +155,8 @@ def get_wds_dataset(
             num_samples, len(shards),
         )
     transforms_name = cfg.get("transforms", "MOCOV2_single")
-    augment = build_common_augmentation(transforms_name)
+    augment = build_common_augmentation(transforms_name,
+                                        image_size=int(cfg.get("image_size", 0)))
     # two augmented views per image (reference TwoCropsTransform for the
     # MOCOV2/SIMCLR/SIMSIAM recipes; DeCLIP's SimSiam branch needs both)
     two_views = bool(cfg.get("two_views",

@@ -232,6 +232,12 @@ class Solver:
             # (reference ``split_by_node``, clip_dataset_wsd.py:158-240).
             # ``batch_size`` in the config is per-host; the sizing math uses
             # the process count so every host agrees on num_batches/epoch.
+            # crops must match the tower (reference hard-codes 224; explicit
+            # data.train.image_size wins)
+            if "image_size" not in dcfg:
+                dcfg["image_size"] = int(self.model.vision_cfg.input_resolution)
+            if "context_length" not in dcfg:
+                dcfg["context_length"] = int(self.model.text_cfg.context_length)
             self.train_data = get_wds_dataset(
                 dcfg,
                 world_size=jax.process_count(),
