@@ -192,3 +192,19 @@ def test_jpeg_draft_decode():
 
     png = _decode_image({"png": jpeg_bytes(1024, 1024, fmt="PNG")})
     assert png.size == (1024, 1024)
+
+
+def test_augment_image_size_override():
+    """build_common_augmentation(image_size=N) reshapes both recipes (the
+    solver threads the tower resolution into the loader)."""
+    from PIL import Image
+
+    from iterated_learning_for_vlm_tpu.data.augment import build_common_augmentation
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (96, 80, 3)).astype("uint8"))
+    for name in ("MOCOV2_single", "ONECROP"):
+        out = build_common_augmentation(name, image_size=32)(img, rng)
+        assert out.shape == (32, 32, 3), (name, out.shape)
+        out224 = build_common_augmentation(name)(img, rng)
+        assert out224.shape == (224, 224, 3)
