@@ -280,28 +280,19 @@ def prefetch_to_device(iterator: Iterator, mesh=None, size: int = 2) -> Iterator
     mesh's data axis (replaces torch DataLoader prefetching + .cuda())."""
     import jax
 
-    if mesh is not None:
-        from ..parallel.mesh import batch_sharding
-
-        sharding = batch_sharding(mesh)
-    else:
-        sharding = None
-
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     stop = object()
 
     def producer():
         try:
             for batch in iterator:
-                if sharding is not None:
+                if mesh is not None:
                     # each process contributes ITS loader's rows of the
-                    # global batch — device_put onto a global sharding only
-                    # works single-process (non-addressable devices on a
-                    # pod); this form is identical there and correct on
-                    # multi-host (global batch = per-host rows x hosts)
-                    batch = jax.tree.map(
-                        lambda x: jax.make_array_from_process_local_data(
-                            sharding, np.asarray(x)), batch)
+                    # global batch (multi-host ingestion contract — one
+                    # shared implementation in parallel/mesh.py)
+                    from ..parallel.mesh import host_local_to_global
+
+                    batch = host_local_to_global(batch, mesh)
                 else:
                     batch = jax.tree.map(jax.device_put, batch)
                 q.put(batch)

@@ -35,12 +35,16 @@ class SyntheticClipData:
                  seed: int = 0, num_batches: int = 100, tokenizer=None,
                  correlated: bool = False, num_classes: int = 64,
                  noise_scale: float = 0.3, two_views: bool = False,
-                 mask_type: str = None, rank: int = 0):
-        # rank: disjoint per-HOST sample streams on a multi-process cluster
-        # (class PROTOTYPES stay derived from `seed` alone — shared across
-        # hosts, matching the shard loaders' disjoint-split semantics).
-        # rank 0 keeps the exact historical (seed, index) stream.
+                 mask_type: str = None, rank: int = 0, world_size: int = 1):
+        # rank/world_size: disjoint per-HOST streams on a multi-process
+        # cluster (class PROTOTYPES stay derived from `seed` alone — shared
+        # across hosts).  In correlated mode each host also samples from a
+        # DISJOINT class partition (rank::world_size): two hosts drawing the
+        # same class would inject identical caption pairs into the global
+        # batch as contrastive "negatives", corrupting the learnability
+        # check.  world_size 1 keeps the exact historical stream.
         self.rank = rank
+        self.world_size = max(1, world_size)
         self.batch_size = batch_size
         self.image_size = image_size
         self.context_length = context_length
@@ -77,9 +81,15 @@ class SyntheticClipData:
         key = (self.seed, index) if self.rank == 0 else (self.seed, self.rank, index)
         rng = np.random.default_rng(key)
         if self.correlated:
-            ks = rng.permutation(self.num_classes)[: self.batch_size]
-            if len(ks) < self.batch_size:  # classes < batch: sample w/ repeats
-                ks = rng.integers(0, self.num_classes, self.batch_size)
+            if self.world_size > 1:  # disjoint per-host class partition
+                mine = np.arange(self.rank, self.num_classes, self.world_size)
+                ks = rng.permutation(mine)[: self.batch_size]
+                if len(ks) < self.batch_size:
+                    ks = mine[rng.integers(0, len(mine), self.batch_size)]
+            else:
+                ks = rng.permutation(self.num_classes)[: self.batch_size]
+                if len(ks) < self.batch_size:  # classes < batch: repeats
+                    ks = rng.integers(0, self.num_classes, self.batch_size)
             images = np.stack([self._class_image(int(k), rng) for k in ks])
             captions = [self._class_caption(int(k)) for k in ks]
         else:

@@ -41,19 +41,10 @@ class JitEncoder:
         self.normalize = normalize
         self.context_length = model.text_cfg.context_length
         self.image_size = model.vision_cfg.input_resolution
-        base_transform = build_common_augmentation(transform)
-        if transform == "ONECROP":
-            import functools
-
-            # scale the resize/crop pair to the model's input resolution
-            # (reference: Resize(256) -> CenterCrop(224) for 224-px models)
-            self.transform = functools.partial(
-                base_transform,
-                resize=max(1, round(self.image_size * 256 / 224)),
-                size=self.image_size,
-            )
-        else:
-            self.transform = base_transform
+        # resize/crop scaled to the model's input resolution for EVERY
+        # recipe (reference: Resize(256) -> CenterCrop(224) for 224-px)
+        self.transform = build_common_augmentation(
+            transform, image_size=self.image_size)
 
         def img_fn(params, images):
             if is_fdt:

@@ -61,8 +61,6 @@ def put_global(x: Any, sharding: NamedSharding) -> Any:
     Single-process: plain ``device_put`` (zero-copy paths preserved)."""
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
-    import numpy as np
-
     arr = np.asarray(x)
     return jax.make_array_from_callback(arr.shape, sharding,
                                         lambda idx: arr[idx])
@@ -81,8 +79,6 @@ def host_local_to_global(batch: Any, mesh: Mesh) -> Any:
     contributes its rows of the global batch; this assembles them without
     any cross-host copy (``jax.make_array_from_process_local_data``).
     Works single-process too (equivalent to :func:`shard_batch`)."""
-    import numpy as np
-
     sh = batch_sharding(mesh)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),

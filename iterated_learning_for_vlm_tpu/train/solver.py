@@ -221,7 +221,9 @@ class Solver:
                 num_classes=int(dcfg.get("num_classes", 64)),
                 two_views=bool(dcfg.get("two_views", False)),
                 mask_type=dcfg.get("mask_type"),
-                rank=jax.process_index(),  # disjoint per-host streams
+                # disjoint per-host streams + class partitions
+                rank=jax.process_index(),
+                world_size=jax.process_count(),
             )
             self.train_data = None
             self._synthetic = data

@@ -40,6 +40,11 @@ def main():
                         help="with --platform cpu: virtual device count")
     args = parser.parse_args()
 
+    if args.coordinator and (args.num_processes is None or args.process_id is None):
+        parser.error("--coordinator requires --num_processes and --process_id")
+    if args.cpu_devices and not args.platform:
+        parser.error("--cpu_devices only applies with --platform cpu")
+
     if args.platform:
         import jax
 

@@ -56,12 +56,19 @@ def _run_cluster(num_processes: int, devices_per_process: int, port: int,
         for i in range(num_processes)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=1200)  # 1-core box: concurrent compiles
-        assert p.returncode == 0, err[-2000:]
-        if checkpoint_dir:
-            assert "MP_RESTORED_STEP 1" in out, out
-        outs.append(_parse(out))
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=1200)  # 1-core: concurrent compiles
+            assert p.returncode == 0, err[-2000:]
+            if checkpoint_dir:
+                assert "MP_RESTORED_STEP 1" in out, out
+            outs.append(_parse(out))
+    finally:
+        # one worker failing must not leak siblings blocked in Gloo waits
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     return outs
 
 

@@ -106,6 +106,9 @@ def main():
         "pad_mask": np.zeros((b, ctx), np.float32),
     }
     # each process contributes ITS rows (the multi-host loader contract)
+    assert b % args.num_processes == 0, (
+        f"--global-batch {b} must divide by --num-processes "
+        f"{args.num_processes}")
     lo = args.process_id * (b // args.num_processes)
     hi = lo + b // args.num_processes
     local = {k: v[lo:hi] for k, v in gbatch.items()}
