@@ -288,3 +288,16 @@ def test_pretrained_model_sweep(tmp_path, monkeypatch):
 
     with pytest.raises(SystemExit):
         eval_cli.main(["eval", "--dataset", "dummy"])
+
+
+def test_expand_datasets_sniffing(tmp_path):
+    """File entries expand only when they look like dataset-name lists;
+    JSON/data files pass through to the builder untouched."""
+    from iterated_learning_for_vlm_tpu.eval.cli import _expand_datasets
+
+    lst = tmp_path / "sets.txt"
+    lst.write_text("# comment\nwds/a\ncifar:/data/c.pkl\n\n")
+    data = tmp_path / "retrieval.json"
+    data.write_text('[{"image": "x.jpg", "caption": "a"}]')
+    out = _expand_datasets([str(lst), str(data), "dummy"])
+    assert out == ["wds/a", "cifar:/data/c.pkl", str(data), "dummy"]
