@@ -12,6 +12,17 @@ Parity target: reference ``CLIP_benchmark/clip_benchmark/datasets/builder.py``
 - ``folder:<path>``: torchvision ImageFolder-style class-per-directory trees.
 - ``retrieval_json:<path>``: COCO/Flickr karpathy-style JSON
   (``[{image: path, captions: [...]}, ...]``) for retrieval tasks.
+- ``cifar:<path>`` / ``npz:<path>``: CIFAR pickle batches or npz arrays.
+- ``mnist:<dir>``: raw idx-ubyte MNIST layout (``train-images-idx3-ubyte`` /
+  ``t10k-...``, optionally ``.gz``) — the torchvision download layout
+  (builder.py:407-410) read without torchvision.
+- ``voc:<root>`` / ``voc_cropped:<root>``: PASCAL VOC2007 devkit trees —
+  multilabel presence targets (``voc2007_multilabel``, voc2007.py:170-210)
+  and the per-bounding-box single-label crop variant (``voc2007``,
+  voc2007.py:213-247).
+- ``flickr_txt:<file>``: Flickr8k/30k ``captions.txt`` / karpathy-txt
+  annotations (``img.jpg,caption`` lines, header skipped; flickr.py:26-36),
+  images under ``--dataset_root``.
 
 Each build returns an :class:`EvalDataset` with uniform fields, and
 ``default_task`` mirrors the reference's task inference.
@@ -191,6 +202,143 @@ def build_npz_dataset(path: str, name: str, split: str = "test") -> EvalDataset:
     return build_cifar_dataset(path, name, split)
 
 
+MNIST_CLASSNAMES = [str(i) for i in range(10)]
+MNIST_TEMPLATES = ['a photo of the number: "{c}".']
+
+
+def _read_idx(path: str) -> np.ndarray:
+    """Parse an idx-ubyte file (the raw MNIST wire format), .gz transparent."""
+    import gzip
+    import struct
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic = struct.unpack(">HBB", f.read(4))
+        assert magic[0] == 0, f"{path}: bad idx magic {magic}"
+        ndim = magic[2]
+        shape = struct.unpack(f">{ndim}I", f.read(4 * ndim))
+        return np.frombuffer(f.read(), np.uint8).reshape(shape)
+
+
+def build_mnist_dataset(path: str, name: str, split: str = "test") -> EvalDataset:
+    """Raw MNIST idx layout (reference builder.py:407-410 via torchvision;
+    classnames/templates from en_classnames.json / ..._templates.json)."""
+    prefix = "train" if split == "train" else "t10k"
+
+    def _find(kind):
+        for suffix in ("", ".gz"):
+            p = os.path.join(path, f"{prefix}-{kind}-ubyte{suffix}")
+            if os.path.exists(p):
+                return p
+        raise FileNotFoundError(f"no {prefix}-{kind}-ubyte[.gz] under {path}")
+
+    images_arr = _read_idx(_find("images-idx3"))
+    labels = _read_idx(_find("labels-idx1")).astype(np.int64)
+    images = [Image.fromarray(x, mode="L").convert("RGB") for x in images_arr]
+    return EvalDataset(
+        name=name, task="zeroshot_classification", images=images, labels=labels,
+        classnames=list(MNIST_CLASSNAMES), templates=list(MNIST_TEMPLATES),
+    )
+
+
+VOC2007_CLASSNAMES = [
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+]
+
+
+def _voc_read_split(root: str, split: str) -> List[str]:
+    """Image ids for a split (reference voc2007.py:137-149 reads the first
+    category's ``ImageSets/Main/{cat}_{split}.txt``; a plain ``{split}.txt``
+    works too)."""
+    main = os.path.join(root, "VOCdevkit", "VOC2007", "ImageSets", "Main")
+    for fn in (f"{VOC2007_CLASSNAMES[0]}_{split}.txt", f"{split}.txt"):
+        p = os.path.join(main, fn)
+        if os.path.exists(p):
+            return [line.split()[0] for line in _read_lines(p)]
+    raise FileNotFoundError(f"no split file for {split!r} under {main}")
+
+
+def _voc_read_boxes(root: str, ids: Sequence[str]):
+    """(image_id, (l,t,r,b), class_idx) per annotated object
+    (reference voc2007.py:152-167)."""
+    import xml.etree.ElementTree as ET
+
+    cat_idx = {c: i for i, c in enumerate(VOC2007_CLASSNAMES)}
+    anno = os.path.join(root, "VOCdevkit", "VOC2007", "Annotations")
+    out = []
+    for image_id in ids:
+        tree = ET.parse(os.path.join(anno, image_id + ".xml"))
+        for obj in tree.findall("object"):
+            c = cat_idx[obj.find("name").text.strip()]
+            bb = obj.find("bndbox")
+            box = tuple(int(float(bb.find(k).text)) for k in ("xmin", "ymin", "xmax", "ymax"))
+            out.append((image_id, box, c))
+    return out
+
+
+def build_voc_dataset(root: str, name: str, split: str = "test",
+                      cropped: bool = False) -> EvalDataset:
+    """PASCAL VOC2007 from a local devkit tree.
+
+    ``cropped=False``: one sample per image with a multihot ``[N, 20]``
+    presence target (reference ``PASCALVoc2007``, voc2007.py:170-210; the
+    harness infers the multilabel mAP path from ``labels.ndim == 2``,
+    matching reference zeroshot_classification.py:212-214).
+    ``cropped=True``: one sample per bounding box, cropped to the box, with
+    a single class label (reference ``PASCALVoc2007Cropped``).
+    """
+    ids = _voc_read_split(root, split)
+    boxes = _voc_read_boxes(root, ids)
+    img_dir = os.path.join(root, "VOCdevkit", "VOC2007", "JPEGImages")
+    templates = ["a photo of a {c}."]  # en_zeroshot_classification_templates.json:voc2007
+    if cropped:
+        images, labels = [], []
+        for image_id, box, c in boxes:
+            img = Image.open(os.path.join(img_dir, image_id + ".jpg")).convert("RGB")
+            images.append(img.crop(box))
+            labels.append(c)
+        return EvalDataset(
+            name=name, task="zeroshot_classification", images=images,
+            labels=np.asarray(labels, np.int64),
+            classnames=list(VOC2007_CLASSNAMES), templates=templates,
+        )
+    index = {image_id: i for i, image_id in enumerate(ids)}
+    labels = np.zeros((len(ids), len(VOC2007_CLASSNAMES)), np.int64)
+    for image_id, _, c in boxes:
+        labels[index[image_id], c] = 1
+    images = [
+        Image.open(os.path.join(img_dir, image_id + ".jpg")).convert("RGB")
+        for image_id in ids
+    ]
+    return EvalDataset(
+        name=name, task="zeroshot_classification", images=images, labels=labels,
+        classnames=list(VOC2007_CLASSNAMES), templates=templates,
+    )
+
+
+def build_flickr_txt(path: str, name: str, image_root: str = "") -> EvalDataset:
+    """Flickr-style ``captions.txt`` / karpathy-txt annotations: a header
+    line, then ``img.jpg,caption`` rows (captions may contain commas — split
+    on ``.jpg,`` exactly as reference flickr.py:26-36); captions grouped per
+    image, images loaded from ``image_root``."""
+    groups: dict = {}
+    with open(path, encoding="utf-8") as f:
+        f.readline()  # header
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            img, caption = line.split(".jpg,", 1)
+            groups.setdefault(img + ".jpg", []).append(caption)
+    images = [
+        Image.open(os.path.join(image_root, img)).convert("RGB") for img in groups
+    ]
+    return EvalDataset(name=name, task="zeroshot_retrieval", images=images,
+                       captions_per_image=list(groups.values()))
+
+
 def build_dataset(name: str, root: str = "", split: str = "test") -> EvalDataset:
     """Dispatch mirroring the reference ``build_dataset`` protocol names."""
     if name == "dummy":
@@ -206,6 +354,15 @@ def build_dataset(name: str, root: str = "", split: str = "test") -> EvalDataset
     if name.startswith("cifar:") or name.startswith("npz:"):
         path = name.split(":", 1)[1]
         return build_cifar_dataset(path, os.path.basename(path).split(".")[0], split)
+    if name.startswith("mnist:"):
+        path = name[len("mnist:"):]
+        return build_mnist_dataset(path, "mnist", split)
+    if name.startswith("voc_cropped:"):
+        return build_voc_dataset(name[len("voc_cropped:"):], "voc2007", split, cropped=True)
+    if name.startswith("voc:"):
+        return build_voc_dataset(name[len("voc:"):], "voc2007_multilabel", split)
+    if name.startswith("flickr_txt:"):
+        return build_flickr_txt(name[len("flickr_txt:"):], "flickr", image_root=root)
     raise KeyError(f"unknown dataset spec {name!r}")
 
 

@@ -196,6 +196,9 @@ def cmd_eval(args):
                 save_clf = f"{root}_{language}{ext or '.npy'}"
             metrics = evaluate_zeroshot_classification(
                 encoder, ds.images, ds.labels, ds.classnames, ds.templates,
+                # [N, C] multihot targets -> mAP (reference infers the same
+                # way, zeroshot_classification.py:212-214)
+                multilabel=getattr(ds.labels, "ndim", 1) == 2,
                 save_clf=save_clf, load_clfs=args.load_clfs or (),
             )
         elif task == "zeroshot_retrieval":
