@@ -158,6 +158,18 @@ def clip_fdt_sp_vitb32(**kw):
     return _clip_fdt(vit_b32, text_base, kw)
 
 
+def clip_vitb32_auxilary(**kw):
+    """Reference ``clip_vitb32_auxilary`` (prototype/model/clip.py:209-216):
+    CLIP B/32 built from the "auxilary" towers — a vendored copy of torch's
+    multi-head attention with attention-probs forward/backward hooks
+    (image_encoder/auxilary.py:26-51) so attention maps can be harvested for
+    visualization.  Here the same module graph already surfaces per-layer
+    head-averaged attention as a *call-time* output (``return_attn=True`` on
+    both towers, models/vit.py / models/text.py) — no separate parameter
+    layout, so checkpoints are interchangeable with ``clip_vitb32``."""
+    return _clip(vit_b32, text_base, kw)
+
+
 def declip_fdt_vitb32(**kw):
     from .declip_fdt import declip_fdt_vitb32 as factory
 
@@ -190,6 +202,7 @@ _REGISTRY = {
     "clip_fdt_vitb16": clip_fdt_vitb16,
     "clip_fdt_swinB_v2": clip_fdt_swinB_v2,
     "clip_vitb32_sp": clip_vitb32_sp,
+    "clip_vitb32_auxilary": clip_vitb32_auxilary,
     "clip_fdt_sp_vitb32": clip_fdt_sp_vitb32,
     "declip_fdt_vitb32": declip_fdt_vitb32,
     "defilip_fdt_vitb32": defilip_fdt_vitb32,

@@ -132,6 +132,17 @@ def test_registry_reference_yaml_schema():
     assert model.text_cfg.width == 512
 
 
+def test_auxilary_factory_aliases_clip_b32():
+    """Reference clip_vitb32_auxilary (clip.py:209-216) = CLIP B/32 with
+    attention-surfacing towers; here the same module graph (checkpoints
+    interchangeable), attention via return_attn at call time."""
+    aux = model_entry({"type": "clip_vitb32_auxilary", "kwargs": {}})
+    base = model_entry({"type": "clip_vitb32", "kwargs": {}})
+    assert isinstance(aux, CLIP)
+    assert aux.vision_cfg == base.vision_cfg
+    assert aux.text_cfg == base.text_cfg
+
+
 def test_init_distributions(clip_model):
     """Spot-check the torch-parity init stds (visual tower)."""
     _, params = clip_model
