@@ -23,6 +23,14 @@ Parity target: reference ``CLIP_benchmark/clip_benchmark/datasets/builder.py``
 - ``flickr_txt:<file>``: Flickr8k/30k ``captions.txt`` / karpathy-txt
   annotations (``img.jpg,caption`` lines, header skipped; flickr.py:26-36),
   images under ``--dataset_root``.
+- ``multilingual_mscoco_captions:<dir>`` / ``flickr30k_200:<dir>`` /
+  ``xtd200:<dir>`` / ``crossmodal3600:<dir>``: per-language retrieval
+  annotation JSONs ``{image_paths: [...], annotations: [...]}`` resolved by
+  the reference filename templates (e.g.
+  ``multilingual_mscoco_captions-{lang}.json``; multilingual_mscoco.py:18,
+  flickr30k_200.py:20, xtd200.py:20, crossmodal3600.py:52 + builder.py
+  266-299) — the files the reference *creates* on first use; here they are
+  read from disk (zero-egress), selected by ``--language``.
 
 Each build returns an :class:`EvalDataset` with uniform fields, and
 ``default_task`` mirrors the reference's task inference.
@@ -339,8 +347,43 @@ def build_flickr_txt(path: str, name: str, image_root: str = "") -> EvalDataset:
                        captions_per_image=list(groups.values()))
 
 
-def build_dataset(name: str, root: str = "", split: str = "test") -> EvalDataset:
+# reference per-language annotation filename templates
+ML_RETRIEVAL_TEMPLATES = {
+    "multilingual_mscoco_captions": "multilingual_mscoco_captions-{}.json",
+    "flickr30k_200": "flickr30k_200-{}.json",
+    "xtd200": "xtd200-{}.json",
+    "crossmodal3600": "crossmodal3600_captions-{}.json",
+}
+
+
+def build_ml_retrieval(dir_path: str, name: str, language: str,
+                       image_root: str = "") -> EvalDataset:
+    """Multilingual retrieval sets (reference multilingual_mscoco.py /
+    flickr30k_200.py / xtd200.py / crossmodal3600.py): one annotation JSON
+    per language, ``{"image_paths": [...], "annotations": [...]}``, one
+    caption (or caption list) per image."""
+    ann = os.path.join(dir_path, ML_RETRIEVAL_TEMPLATES[name].format(language))
+    if not os.path.exists(ann):
+        raise FileNotFoundError(
+            f"no {name!r} annotations for language {language!r}: {ann}")
+    with open(ann, encoding="utf-8") as f:
+        data = json.load(f)
+    images = [
+        Image.open(p if os.path.isabs(p) else os.path.join(image_root or dir_path, p)).convert("RGB")
+        for p in data["image_paths"]
+    ]
+    captions = [[c] if isinstance(c, str) else list(c) for c in data["annotations"]]
+    return EvalDataset(name=f"{name}-{language}", task="zeroshot_retrieval",
+                       images=images, captions_per_image=captions)
+
+
+def build_dataset(name: str, root: str = "", split: str = "test",
+                  language: str = "en") -> EvalDataset:
     """Dispatch mirroring the reference ``build_dataset`` protocol names."""
+    for ml_name in ML_RETRIEVAL_TEMPLATES:
+        if name.startswith(ml_name + ":"):
+            return build_ml_retrieval(name[len(ml_name) + 1:], ml_name,
+                                      language, image_root=root)
     if name == "dummy":
         return build_dummy()
     if name.startswith("wds/"):

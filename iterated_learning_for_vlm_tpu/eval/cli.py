@@ -143,7 +143,8 @@ def cmd_eval(args):
     # reference main_eval dataset x language product (cli.py:116-195)
     for dataset, language in ((d, lg) for d in _expand_datasets(args.dataset)
                               for lg in languages):
-        ds = build_dataset(dataset, root=args.dataset_root, split=args.split)
+        ds = build_dataset(dataset, root=args.dataset_root, split=args.split,
+                           language=language)
         # resolve 'auto' BEFORE formatting the skip path — the reference also
         # resolves the task first (cli.py:234-247), else an {task} template
         # checks "..._auto_..." and never matches what _dump wrote

@@ -123,6 +123,38 @@ def test_multilabel_zeroshot_map():
     assert m == {"mean_average_precision": 1.0}
 
 
+@pytest.mark.parametrize("name", ["multilingual_mscoco_captions", "xtd200"])
+def test_multilingual_retrieval_loader(tmp_path, name):
+    """Per-language annotation JSONs (reference multilingual_mscoco.py:18 /
+    xtd200.py:20 templates): build_dataset resolves the file from
+    --language."""
+    from iterated_learning_for_vlm_tpu.eval.builder import ML_RETRIEVAL_TEMPLATES
+
+    rng = np.random.default_rng(3)
+    imgs = []
+    for i in range(2):
+        p = tmp_path / f"img{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (8, 8, 3), dtype=np.int64).astype(np.uint8)
+        ).save(p)
+        imgs.append(f"img{i}.jpg")
+    import json as _json
+
+    for lang, caps in (("es", ["un perro", "un gato"]),
+                       ("jp", ["犬", "猫"])):
+        ann = tmp_path / ML_RETRIEVAL_TEMPLATES[name].format(lang)
+        ann.write_text(_json.dumps({"image_paths": imgs, "annotations": caps}),
+                       encoding="utf-8")
+    ds = build_dataset(f"{name}:{tmp_path}", language="es")
+    assert ds.task == "zeroshot_retrieval"
+    assert ds.name == f"{name}-es"
+    assert ds.captions_per_image == [["un perro"], ["un gato"]]
+    ds_jp = build_dataset(f"{name}:{tmp_path}", language="jp")
+    assert ds_jp.captions_per_image == [["犬"], ["猫"]]
+    with pytest.raises(FileNotFoundError):
+        build_dataset(f"{name}:{tmp_path}", language="de")
+
+
 def test_flickr_txt_loader(tmp_path):
     img_root = tmp_path / "Images"
     img_root.mkdir()
