@@ -119,6 +119,14 @@ def test_apply_language():
     ds2 = EvalDataset(name="cifar10", task="zeroshot_classification",
                       classnames=["airplane"], templates=["t"])
     assert apply_language(ds2, "xx").classnames == ["airplane"]
+    # all reference language sets ship (en default + it/cn/jp/ar JSONs,
+    # reference datasets/{lang}_classnames.json)
+    for lang, first in (("cn", "飞机"), ("jp", "飛行機"), ("ar", "طائرة")):
+        ds3 = EvalDataset(name="cifar10", task="zeroshot_classification",
+                          classnames=["airplane"], templates=["t"])
+        out3 = apply_language(ds3, lang)
+        assert out3.classnames[0] == first
+        assert "{}" in out3.templates[0]
 
 
 def test_cifar_pickle_and_npz_loaders(tmp_path):
