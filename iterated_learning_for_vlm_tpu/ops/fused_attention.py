@@ -287,20 +287,20 @@ def _bwd(qkv, bias, dout, *, heads, group, bb, sg, valid):
     return batch_partitioned(inner, batch_args=(0, 2))(qkv, bias, dout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _attend(qkv, bias, heads, group, bb, sg, valid):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _attend(qkv, bias, heads, group, bb, sg, valid, group_bwd, sg_bwd):
     return _fwd(qkv, bias, heads=heads, group=group, bb=bb, sg=sg, valid=valid)
 
 
-def _attend_fwd(qkv, bias, heads, group, bb, sg, valid):
+def _attend_fwd(qkv, bias, heads, group, bb, sg, valid, group_bwd, sg_bwd):
     return (_fwd(qkv, bias, heads=heads, group=group, bb=bb, sg=sg, valid=valid),
             (qkv, bias))
 
 
-def _attend_bwd(heads, group, bb, sg, valid, res, g):
+def _attend_bwd(heads, group, bb, sg, valid, group_bwd, sg_bwd, res, g):
     qkv, bias = res
-    dqkv = _bwd(qkv, bias, g.astype(qkv.dtype), heads=heads, group=group,
-                bb=bb, sg=sg, valid=valid)
+    dqkv = _bwd(qkv, bias, g.astype(qkv.dtype), heads=heads, group=group_bwd,
+                bb=bb, sg=sg_bwd, valid=valid)
     return dqkv, None
 
 
@@ -314,6 +314,8 @@ def fused_tiny_attention(
     head_group: int = 4,
     batch_block: int = 8,
     sample_group: int = 1,
+    head_group_bwd: Optional[int] = None,
+    sample_group_bwd: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-head self-attention on packed QKV for tiny sequence lengths.
 
@@ -337,6 +339,9 @@ def fused_tiny_attention(
     S > ~128 (``models/layers.py`` enforces this for the towers).
     """
     assert heads % head_group == 0, (heads, head_group)
+    # the backward kernel body runs 6 dots vs the forward's 2, so its best
+    # (head_group, sample_group) point can differ — swept separately
+    assert heads % (head_group_bwd or head_group) == 0
     b, s, three_d = qkv.shape
     assert three_d % (3 * heads) == 0
     sp = _pad_seq(s)
@@ -353,7 +358,10 @@ def fused_tiny_attention(
     if sp != s:
         qkv = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
     out = _attend(qkv, bias_sp, heads, head_group, batch_block,
-                  max(1, sample_group), s)
+                  max(1, sample_group), s,
+                  head_group_bwd if head_group_bwd is not None else head_group,
+                  max(1, sample_group_bwd if sample_group_bwd is not None
+                      else sample_group))
     return out[:, :s] if sp != s else out
 
 

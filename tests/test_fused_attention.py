@@ -149,6 +149,23 @@ def test_sample_group_matches_xla_fwd_and_grad(shape, causal, group, sg):
                                atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.parametrize("gb,sgb", [(4, 1), (6, 2), (2, 4)])
+def test_separate_bwd_tiling_matches_xla_grad(gb, sgb):
+    """The backward kernel's (head_group_bwd, sample_group_bwd) may differ
+    from the forward tiling (its body runs 6 dots vs fwd's 2); gradients must
+    be identical at every combination."""
+    b, s, h, hd = 8, 50, 12, 8
+    d = h * hd
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (b, s, 3 * d), jnp.float32)
+
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(xla_attention_reference(x, h, None))))(qkv)
+    g_got = jax.jit(jax.grad(lambda x: jnp.sum(jnp.sin(fused_tiny_attention(
+        x, h, head_group=2, batch_block=8, sample_group=2,
+        head_group_bwd=gb, sample_group_bwd=sgb)))))(qkv)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=5e-5, rtol=5e-5)
+
+
 def test_group_mask_jit_matches_eager_small_padded_seq():
     """Regression: XLA:CPU miscompiled the original gather-based
     ``build_group_mask`` under jit at small padded sequences (seq=16,

@@ -7,8 +7,11 @@ between processes; only same-process comparisons are meaningful).
 Measured (v5e, bs256, round 2.1) — ms per call:
   vision (S=50, H=12):  xla 2.21/3.09   g4sg1 1.67/2.42   g2sg2 1.52/2.07 <- ships
   text (S=77, H=8, causal): xla 1.74/2.16  best fused g2sg4 1.60/2.24 -> XLA ships
+  bwd-only sweep (fwd pinned g2sg2): bwd g2sg2 1.91 <- best; g4sg1 1.94,
+  g4sg2 2.00, g2sg4 2.09, g6sg2 2.33, g12sg1 2.34, g4sg4 2.47, g6sg4 VMEM-OOM
+  — the forward tiling point is also the backward optimum.
 
-Usage: python tools/attn_microbench.py [vision|text]
+Usage: python tools/attn_microbench.py [vision|text|bwd]
 """
 import os
 import sys
@@ -60,11 +63,33 @@ def sweep(name, b, s, heads, hd, causal, configs):
               f"fwd+bwd {timeit(fb, qkv):7.3f} ms", flush=True)
 
 
+def sweep_bwd(name, b, s, heads, hd, causal, fwd_cfg, bwd_configs):
+    """Fix the fwd tiling at the shipping point, sweep the BACKWARD kernel's
+    (head_group_bwd, sample_group_bwd) — its body runs 6 dots vs fwd's 2, so
+    the optimum can differ."""
+    d = heads * hd
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * d)), jnp.bfloat16)
+    bias = (jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)
+            if causal else None)
+    gf, sf = fwd_cfg
+    print(f"-- {name} bwd sweep: fwd tiling g={gf} sg={sf}")
+    for g, sg in bwd_configs:
+        fb = jax.jit(jax.grad(lambda x, g=g, sg=sg: jnp.sum(fused_tiny_attention(
+            x, heads, bias=bias, head_group=gf, sample_group=sf,
+            head_group_bwd=g, sample_group_bwd=sg).astype(jnp.float32))))
+        print(f"   bwd g={g:<2} sg={sg:<2}: fwd+bwd {timeit(fb, qkv):7.3f} ms",
+              flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "vision"
     if which == "vision":
         sweep("vision", 256, 50, 12, 64, False,
               [(4, 1), (4, 2), (2, 2), (2, 4), (4, 4), (6, 2), (12, 1)])
+    elif which == "bwd":
+        sweep_bwd("vision", 256, 50, 12, 64, False, (2, 2),
+                  [(2, 2), (4, 2), (2, 4), (4, 4), (6, 2), (4, 1), (12, 1), (6, 4)])
     else:
         sweep("text", 256, 77, 8, 64, True,
               [(2, 1), (2, 2), (4, 2), (1, 4), (2, 4), (8, 1)])
