@@ -20,7 +20,7 @@ TPU-first differences from the reference:
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,34 @@ class LayerNorm(nn.Module):
         y = nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32, param_dtype=jnp.float32,
                          name="norm")(x.astype(jnp.float32))
         return y.astype(self.dtype)
+
+
+class PackedInProj(nn.Module):
+    """The packed ``[D, 3D]`` QKV projection with a detachable bias add.
+
+    Param tree (``kernel``/``bias``, fp32) is identical to the ``nn.Dense``
+    it replaces, so checkpoints and the torch converter are unaffected.  With
+    ``add_bias=False`` it returns the PRE-bias product — the fused attention
+    kernel absorbs the bias into its VMEM stack stores instead (the separate
+    [B, S, 3D] bias-add pass was measured unfused at ~2 ms/step on v5e).
+    The fp32 bias param is returned either way.
+    """
+
+    features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, add_bias: bool = True):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        xd, kd, bd = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.dot_general(xd, kd, (((xd.ndim - 1,), (0,)), ((), ())))
+        if add_bias:
+            y = y + bd
+        return y, bias
 
 
 class MultiheadAttention(nn.Module):
@@ -77,21 +105,21 @@ class MultiheadAttention(nn.Module):
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
 
-        qkv = nn.Dense(
-            3 * d,
-            kernel_init=scaled_normal(self.attn_std),
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="in_proj",
-        )(x)
-
-        # The fused kernel is a TINY-seq specialization: whole [bb, Sp, 3D]
+        # The fused kernel is a TINY-seq specialization: whole [bb, S, 3D]
         # blocks + the [g*Sp, g*Sp] group mask live in VMEM.  Past S ~128
         # (ViT-B/16 S=197, L/14 S=257) the blocks outgrow VMEM, so larger
         # towers silently stay on the XLA path even with fused_attn=true.
-        if (self.fused_attn and not return_weights and not self.use_flash
-                and s <= 128):
+        use_fused = (self.fused_attn and not return_weights
+                     and not self.use_flash and s <= 128)
+
+        qkv, in_bias = PackedInProj(
+            3 * d,
+            kernel_init=scaled_normal(self.attn_std),
+            dtype=self.dtype,
+            name="in_proj",
+        )(x, add_bias=not use_fused)
+
+        if use_fused:
             from ..ops.fused_attention import fused_tiny_attention
 
             group = max(1, min(self.fused_attn_group, self.num_heads))
@@ -99,7 +127,8 @@ class MultiheadAttention(nn.Module):
                 group -= 1  # largest divisor <= requested, never silently 1
             out = fused_tiny_attention(qkv, self.num_heads, bias=bias,
                                        head_group=group,
-                                       sample_group=self.fused_attn_sample_group)
+                                       sample_group=self.fused_attn_sample_group,
+                                       qkv_bias=in_bias.astype(qkv.dtype))
             return self._project_out(out, d), None
 
         q, k, v = jnp.split(qkv, 3, axis=-1)

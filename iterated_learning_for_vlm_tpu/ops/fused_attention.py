@@ -16,11 +16,15 @@ block-diagonal matmuls so the MXU sees real shapes:
 
 - operands stay in the native ``[B, S, 3*D]`` packed-QKV layout the in_proj
   matmul produces (torch ``nn.MultiheadAttention`` packing, reference
-  ``base_transformer.py:33``).  The g heads of a group are stacked into a
-  ``[g*S, hd]`` matrix as contiguous ROW BLOCKS via aligned VMEM scratch
-  stores (Mosaic rejects both the lane-splitting ``[S, g*hd] -> [S*g, hd]``
-  shape cast and sublane concatenation; S is padded to a sublane multiple at
-  the XLA edge so every in-kernel store/load is tile-aligned).
+  ``base_transformer.py:33``) at the TRUE sequence length — no XLA-edge
+  pad/unpad pass.  The g heads of a group are stacked into a ``[g*Sp, hd]``
+  matrix as contiguous ROW BLOCKS via VMEM scratch stores at a
+  sublane-aligned stride Sp (Mosaic rejects both the lane-splitting
+  ``[S, g*hd] -> [S*g, hd]`` shape cast and sublane concatenation, but
+  accepts S-row stores at aligned offsets — probed bitwise on v5e; the
+  scratch tails are zeroed once per program).  The packed in_proj bias can
+  be absorbed into these stores (``qkv_bias``), deleting the separate
+  [B, S, 3D] bias-add pass from the step.
 - scores for a head-group are ONE dense ``[g*S, hd] @ [hd, g*S]`` matmul.
   The block-diagonal structure (a row attends only to columns of its own
   head) becomes a precomputed additive mask, which also carries the text
@@ -93,26 +97,47 @@ def build_group_mask(seq: int, group: int, bias: Optional[jnp.ndarray],
     return jnp.maximum(m, _NEG)
 
 
-def _stack(ref, scr, b, base, group, sp, hd, sample_group=1):
+def _stack(ref, scr, b, base, group, sp, hd, sample_group=1, rows=None,
+           bias_ref=None):
     """Stack ``sample_group`` consecutive samples x ``group`` per-head column
     slices into ``scr`` as [sg*g*Sp, hd] (sample, head)-major row blocks
     (tile-aligned VMEM stores), return the stacked matrix.  ``b`` is a traced
     loop index (dynamic majormost index); head/sample offsets stay static
-    within the fori body (``b`` advances in steps of ``sample_group``)."""
+    within the fori body (``b`` advances in steps of ``sample_group``).
+
+    ``rows < sp`` stores UNPADDED source rows at the padded block stride
+    (Mosaic accepts non-sublane-multiple store lengths at aligned offsets —
+    probed on v5e; the caller must have zeroed the scratch tails).
+    ``bias_ref`` ([1, 3D] fp32) folds the packed in_proj bias into the stack
+    stores — the absorbed-bias mode that removes the XLA-edge add/pad."""
+    rows = sp if rows is None else rows
     for si in range(sample_group):
         for h in range(group):
             blk = si * group + h
-            scr[blk * sp:(blk + 1) * sp, :] = ref[b + si, :, pl.ds(base + h * hd, hd)]
+            sl = ref[b + si, :, pl.ds(base + h * hd, hd)]
+            if bias_ref is not None:
+                sl = sl + bias_ref[0, pl.ds(base + h * hd, hd)].astype(sl.dtype)[None, :]
+            scr[blk * sp:blk * sp + rows, :] = sl
     return scr[...]
 
 
-def _fwd_kernel(qkv_ref, mask_ref, out_ref, q_scr, k_scr, v_scr, *,
-                heads, group, scale, sample_group):
-    bb, sp, three_d = qkv_ref.shape
+def _zero_tails(scrs, rows, sp):
+    if rows < sp:
+        for s in scrs:
+            s[...] = jnp.zeros_like(s)
+
+
+def _fwd_kernel(qkv_ref, *refs, heads, group, scale, sample_group,
+                has_bias=False):
+    bias3_ref = refs[0] if has_bias else None
+    mask_ref, out_ref, q_scr, k_scr, v_scr = refs[1 if has_bias else 0:]
+    bb, rows, three_d = qkv_ref.shape
     d = three_d // 3
     hd = d // heads
     cols = group * hd
     sg = sample_group
+    sp = q_scr.shape[0] // (group * sg)
+    _zero_tails((q_scr, k_scr, v_scr), rows, sp)
 
     # the batch loop is a fori_loop (compiled once) — a fully unrolled
     # bb x G body explodes Mosaic compile time at bb=8.
@@ -120,9 +145,9 @@ def _fwd_kernel(qkv_ref, mask_ref, out_ref, q_scr, k_scr, v_scr, *,
         b = i * sg
         for gi in range(heads // group):
             lo = gi * cols
-            q = _stack(qkv_ref, q_scr, b, lo, group, sp, hd, sg)
-            k = _stack(qkv_ref, k_scr, b, d + lo, group, sp, hd, sg)
-            v = _stack(qkv_ref, v_scr, b, 2 * d + lo, group, sp, hd, sg)
+            q = _stack(qkv_ref, q_scr, b, lo, group, sp, hd, sg, rows, bias3_ref)
+            k = _stack(qkv_ref, k_scr, b, d + lo, group, sp, hd, sg, rows, bias3_ref)
+            v = _stack(qkv_ref, v_scr, b, 2 * d + lo, group, sp, hd, sg, rows, bias3_ref)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -134,29 +159,33 @@ def _fwd_kernel(qkv_ref, mask_ref, out_ref, q_scr, k_scr, v_scr, *,
                 for h in range(group):
                     blk = si * group + h
                     out_ref[b + si, :, pl.ds(lo + h * hd, hd)] = (
-                        o[blk * sp:(blk + 1) * sp, :])
+                        o[blk * sp:blk * sp + rows, :])
         return 0
 
     jax.lax.fori_loop(0, bb // sg, body, 0)
 
 
-def _bwd_kernel(qkv_ref, mask_ref, dout_ref, dqkv_ref,
-                q_scr, k_scr, v_scr, do_scr, *, heads, group, scale,
-                sample_group):
-    bb, sp, three_d = qkv_ref.shape
+def _bwd_kernel(qkv_ref, *refs, heads, group, scale, sample_group,
+                has_bias=False):
+    bias3_ref = refs[0] if has_bias else None
+    mask_ref, dout_ref, dqkv_ref, q_scr, k_scr, v_scr, do_scr = (
+        refs[1 if has_bias else 0:])
+    bb, rows, three_d = qkv_ref.shape
     d = three_d // 3
     hd = d // heads
     cols = group * hd
     sg = sample_group
+    sp = q_scr.shape[0] // (group * sg)
+    _zero_tails((q_scr, k_scr, v_scr, do_scr), rows, sp)
 
     def body(i, _):
         b = i * sg
         for gi in range(heads // group):
             lo = gi * cols
-            q = _stack(qkv_ref, q_scr, b, lo, group, sp, hd, sg)
-            k = _stack(qkv_ref, k_scr, b, d + lo, group, sp, hd, sg)
-            v = _stack(qkv_ref, v_scr, b, 2 * d + lo, group, sp, hd, sg)
-            do = _stack(dout_ref, do_scr, b, lo, group, sp, hd, sg)
+            q = _stack(qkv_ref, q_scr, b, lo, group, sp, hd, sg, rows, bias3_ref)
+            k = _stack(qkv_ref, k_scr, b, d + lo, group, sp, hd, sg, rows, bias3_ref)
+            v = _stack(qkv_ref, v_scr, b, 2 * d + lo, group, sp, hd, sg, rows, bias3_ref)
+            do = _stack(dout_ref, do_scr, b, lo, group, sp, hd, sg, rows)
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -185,10 +214,11 @@ def _bwd_kernel(qkv_ref, mask_ref, dout_ref, dqkv_ref,
             dvc = dv.astype(dt)
             for si in range(sg):
                 for h in range(group):
-                    rows = slice((si * group + h) * sp, (si * group + h + 1) * sp)
-                    dqkv_ref[b + si, :, pl.ds(lo + h * hd, hd)] = dq[rows, :]
-                    dqkv_ref[b + si, :, pl.ds(d + lo + h * hd, hd)] = dk[rows, :]
-                    dqkv_ref[b + si, :, pl.ds(2 * d + lo + h * hd, hd)] = dvc[rows, :]
+                    rs = slice((si * group + h) * sp,
+                               (si * group + h) * sp + rows)
+                    dqkv_ref[b + si, :, pl.ds(lo + h * hd, hd)] = dq[rs, :]
+                    dqkv_ref[b + si, :, pl.ds(d + lo + h * hd, hd)] = dk[rs, :]
+                    dqkv_ref[b + si, :, pl.ds(2 * d + lo + h * hd, hd)] = dvc[rs, :]
         return 0
 
     jax.lax.fori_loop(0, bb // sg, body, 0)
@@ -218,90 +248,122 @@ def _local_tiling(b, batch_block, sample_group):
     return bb, sg
 
 
-def _fwd_local(qkv, bias, *, heads, group, bb, sg, valid):
-    b, sp, three_d = qkv.shape
+def _fwd_local(qkv, bias, bias3, *, heads, group, bb, sg):
+    b, s, three_d = qkv.shape
+    sp = _pad_seq(s)
     bb, sg = _local_tiling(b, bb, sg)
-    mask = build_group_mask(sp, group * sg, bias, valid=valid)
+    mask = build_group_mask(sp, group * sg, bias, valid=s)
     d = three_d // 3
     hd = d // heads
     scale = hd ** -0.5
+    has_bias = bias3 is not None
+    in_specs = [pl.BlockSpec((bb, s, three_d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [qkv]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, three_d), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias3)
+    in_specs.append(pl.BlockSpec(mask.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(mask)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, group=group, scale=scale,
-                          sample_group=sg),
-        out_shape=jax.ShapeDtypeStruct((b, sp, d), qkv.dtype),
+                          sample_group=sg, has_bias=has_bias),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
         grid=(b // bb,),
-        in_specs=[
-            pl.BlockSpec((bb, sp, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(mask.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bb, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=_scratch(3, sp, group * sg, hd, qkv.dtype),
         interpret=_interpret(),
-    )(qkv, mask)
+    )(*operands)
 
 
-def _bwd_local(qkv, bias, dout, *, heads, group, bb, sg, valid):
-    b, sp, three_d = qkv.shape
+def _bwd_local(qkv, bias, bias3, dout, *, heads, group, bb, sg):
+    b, s, three_d = qkv.shape
+    sp = _pad_seq(s)
     bb, sg = _local_tiling(b, bb, sg)
-    mask = build_group_mask(sp, group * sg, bias, valid=valid)
+    mask = build_group_mask(sp, group * sg, bias, valid=s)
     d = three_d // 3
     hd = d // heads
     scale = hd ** -0.5
+    has_bias = bias3 is not None
+    in_specs = [pl.BlockSpec((bb, s, three_d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [qkv]
+    if has_bias:
+        in_specs.append(pl.BlockSpec((1, three_d), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias3)
+    in_specs.append(pl.BlockSpec(mask.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(mask)
+    in_specs.append(pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(dout)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, group=group, scale=scale,
-                          sample_group=sg),
-        out_shape=jax.ShapeDtypeStruct((b, sp, three_d), qkv.dtype),
+                          sample_group=sg, has_bias=has_bias),
+        out_shape=jax.ShapeDtypeStruct((b, s, three_d), qkv.dtype),
         grid=(b // bb,),
-        in_specs=[
-            pl.BlockSpec((bb, sp, three_d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(mask.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, sp, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bb, sp, three_d), lambda i: (i, 0, 0),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, s, three_d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=_scratch(4, sp, group * sg, hd, qkv.dtype),
         interpret=_interpret(),
-    )(qkv, mask, dout)
+    )(*operands)
 
 
-def _fwd(qkv, bias, *, heads, group, bb, sg, valid):
+def _fwd(qkv, bias, bias3, *, heads, group, bb, sg):
     """Shard-local forward with the batch-data-parallel SPMD rule: under a
     dp-sharded jit each device runs the kernel on its own batch shard (the
-    [Sp, Sp] bias is replicated) instead of the partitioner replicating the
-    opaque Mosaic call — see ``ops/partitioning.py``.  The group mask is
-    built INSIDE the shard-local call: each shard re-derives (bb, sg) from
-    its own batch (``_local_tiling``), so the mask size must follow the
-    shard-local sg, not the global one."""
+    [Sp, Sp] bias and the packed [1, 3D] in_proj bias are replicated)
+    instead of the partitioner replicating the opaque Mosaic call — see
+    ``ops/partitioning.py``.  The group mask is built INSIDE the shard-local
+    call: each shard re-derives (bb, sg) from its own batch
+    (``_local_tiling``), so the mask size must follow the shard-local sg,
+    not the global one."""
     from .partitioning import batch_partitioned
 
-    # plain positional wrapper: custom_partitioning resolves the callee
+    # plain positional wrappers: custom_partitioning resolves the callee
     # signature and rejects functools.partial keyword binding
-    inner = lambda q_, b_: _fwd_local(q_, b_, heads=heads, group=group, bb=bb, sg=sg, valid=valid)  # noqa: E731
-    return batch_partitioned(inner, batch_args=(0,))(qkv, bias)
+    if bias3 is None:
+        inner = lambda q_, b_: _fwd_local(q_, b_, None, heads=heads, group=group, bb=bb, sg=sg)  # noqa: E731
+        return batch_partitioned(inner, batch_args=(0,))(qkv, bias)
+    inner = lambda q_, b_, b3_: _fwd_local(q_, b_, b3_, heads=heads, group=group, bb=bb, sg=sg)  # noqa: E731
+    return batch_partitioned(inner, batch_args=(0,))(qkv, bias, bias3)
 
 
-def _bwd(qkv, bias, dout, *, heads, group, bb, sg, valid):
+def _bwd(qkv, bias, bias3, dout, *, heads, group, bb, sg):
     from .partitioning import batch_partitioned
 
-    inner = lambda q_, b_, d_: _bwd_local(q_, b_, d_, heads=heads, group=group, bb=bb, sg=sg, valid=valid)  # noqa: E731
-    return batch_partitioned(inner, batch_args=(0, 2))(qkv, bias, dout)
+    if bias3 is None:
+        inner = lambda q_, b_, d_: _bwd_local(q_, b_, None, d_, heads=heads, group=group, bb=bb, sg=sg)  # noqa: E731
+        return batch_partitioned(inner, batch_args=(0, 2))(qkv, bias, dout)
+    inner = lambda q_, b_, b3_, d_: _bwd_local(q_, b_, b3_, d_, heads=heads, group=group, bb=bb, sg=sg)  # noqa: E731
+    return batch_partitioned(inner, batch_args=(0, 3))(qkv, bias, bias3, dout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
-def _attend(qkv, bias, heads, group, bb, sg, valid, group_bwd, sg_bwd):
-    return _fwd(qkv, bias, heads=heads, group=group, bb=bb, sg=sg, valid=valid)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _attend(qkv, bias, bias3, heads, group, bb, sg, group_bwd, sg_bwd):
+    return _fwd(qkv, bias, bias3, heads=heads, group=group, bb=bb, sg=sg)
 
 
-def _attend_fwd(qkv, bias, heads, group, bb, sg, valid, group_bwd, sg_bwd):
-    return (_fwd(qkv, bias, heads=heads, group=group, bb=bb, sg=sg, valid=valid),
-            (qkv, bias))
+def _attend_fwd(qkv, bias, bias3, heads, group, bb, sg, group_bwd, sg_bwd):
+    return (_fwd(qkv, bias, bias3, heads=heads, group=group, bb=bb, sg=sg),
+            (qkv, bias, bias3))
 
 
-def _attend_bwd(heads, group, bb, sg, valid, group_bwd, sg_bwd, res, g):
-    qkv, bias = res
-    dqkv = _bwd(qkv, bias, g.astype(qkv.dtype), heads=heads, group=group_bwd,
-                bb=bb, sg=sg_bwd, valid=valid)
-    return dqkv, None
+def _attend_bwd(heads, group, bb, sg, group_bwd, sg_bwd, res, g):
+    qkv, bias, bias3 = res
+    dqkv = _bwd(qkv, bias, bias3, g.astype(qkv.dtype), heads=heads,
+                group=group_bwd, bb=bb, sg=sg_bwd)
+    if bias3 is None:
+        return dqkv, None, None
+    # the absorbed in_proj bias sees every (sample, position) once, so its
+    # grad is the same reduce the XLA-edge add's transpose would emit
+    dbias3 = jnp.sum(dqkv, axis=(0, 1), dtype=bias3.dtype).reshape(1, -1)
+    return dqkv, None, dbias3
 
 
 _attend.defvjp(_attend_fwd, _attend_bwd)
@@ -316,6 +378,7 @@ def fused_tiny_attention(
     sample_group: int = 1,
     head_group_bwd: Optional[int] = None,
     sample_group_bwd: Optional[int] = None,
+    qkv_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Multi-head self-attention on packed QKV for tiny sequence lengths.
 
@@ -324,6 +387,10 @@ def fused_tiny_attention(
     it must be a CONSTANT (the causal mask): the custom VJP does not
     propagate a bias gradient (``stop_gradient`` below makes that explicit),
     so a *learned* bias must use the XLA attention path instead.
+    qkv_bias: optional [3*D] packed in_proj bias ABSORBED into the kernel:
+    pass the PRE-bias product ``x @ W`` as ``qkv`` and the bias here — the
+    kernel folds the add into its VMEM stack stores (with gradient), which
+    deletes the separate XLA [B, S, 3D] bias-add pass from the step.
     head_group: heads fused per block-diagonal matmul (must divide
     ``heads``); batch_block: samples per kernel program; sample_group:
     samples additionally fused into the SAME block-diagonal matmul (the
@@ -334,9 +401,13 @@ def fused_tiny_attention(
     attention exactly the way it blocks cross-head attention).
     Returns [B, S, D] in the same layout/dtype the out_proj expects.
 
-    Tiny-S only: the whole [bb, Sp, 3D] block plus the [sg*g*Sp, sg*g*Sp]
-    mask must fit VMEM; callers should fall back to XLA attention for padded
-    S > ~128 (``models/layers.py`` enforces this for the towers).
+    The kernel reads/writes HBM at the TRUE S (Mosaic handles the
+    non-sublane-multiple edge); only the VMEM scratch blocks are padded to
+    the sublane multiple Sp, with zeroed tails + masked key columns keeping
+    the padding inert.  Tiny-S only: the whole [bb, S, 3D] block plus the
+    [sg*g*Sp, sg*g*Sp] mask must fit VMEM; callers should fall back to XLA
+    attention for S > ~128 (``models/layers.py`` enforces this for the
+    towers).
     """
     assert heads % head_group == 0, (heads, head_group)
     # the backward kernel body runs 6 dots vs the forward's 2, so its best
@@ -355,14 +426,12 @@ def fused_tiny_attention(
         if bias_sp.shape[0] != sp:
             bias_sp = jnp.pad(bias_sp, ((0, sp - bias_sp.shape[0]),
                                         (0, sp - bias_sp.shape[1])))
-    if sp != s:
-        qkv = jnp.pad(qkv, ((0, 0), (0, sp - s), (0, 0)))
-    out = _attend(qkv, bias_sp, heads, head_group, batch_block,
-                  max(1, sample_group), s,
-                  head_group_bwd if head_group_bwd is not None else head_group,
-                  max(1, sample_group_bwd if sample_group_bwd is not None
-                      else sample_group))
-    return out[:, :s] if sp != s else out
+    bias3 = None if qkv_bias is None else qkv_bias.reshape(1, three_d)
+    return _attend(qkv, bias_sp, bias3, heads, head_group, batch_block,
+                   max(1, sample_group),
+                   head_group_bwd if head_group_bwd is not None else head_group,
+                   max(1, sample_group_bwd if sample_group_bwd is not None
+                       else sample_group))
 
 
 def xla_attention_reference(qkv: jnp.ndarray, heads: int,

@@ -166,6 +166,42 @@ def test_separate_bwd_tiling_matches_xla_grad(gb, sgb):
                                atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.parametrize("shape,causal,group,sg", [
+    ((4, 50, 12, 64), False, 2, 2),   # image tower shape (shipped tiling)
+    ((4, 77, 8, 64), True, 2, 2),     # text tower shape, causal
+])
+def test_absorbed_qkv_bias_matches_xla_fwd_and_grad(shape, causal, group, sg):
+    """``qkv_bias`` absorbs the packed in_proj bias into the kernel's VMEM
+    stack stores: given the PRE-bias product, values and all grads (including
+    d(bias)) must match the XLA reference run on ``qkv + bias``."""
+    b, s, h, hd = shape
+    d = h * hd
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    qkv = jax.random.normal(k1, (b, s, 3 * d), jnp.float32)
+    b3 = jax.random.normal(k2, (3 * d,), jnp.float32)
+    bias = _causal(s) if causal else None
+
+    ref = xla_attention_reference(qkv + b3, h, bias)
+    got = jax.jit(lambda x, bb_: fused_tiny_attention(
+        x, h, bias=bias, head_group=group, batch_block=4, sample_group=sg,
+        qkv_bias=bb_))(qkv, b3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def loss_fused(x, bb_):
+        return jnp.sum(jnp.sin(fused_tiny_attention(
+            x, h, bias=bias, head_group=group, batch_block=4, sample_group=sg,
+            qkv_bias=bb_)))
+
+    def loss_ref(x, bb_):
+        return jnp.sum(jnp.sin(xla_attention_reference(x + bb_, h, bias)))
+
+    g_got = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(qkv, b3)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, b3)
+    for gg, gr in zip(g_got, g_ref):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                   atol=2e-4, rtol=2e-4)
+
+
 def test_group_mask_jit_matches_eager_small_padded_seq():
     """Regression: XLA:CPU miscompiled the original gather-based
     ``build_group_mask`` under jit at small padded sequences (seq=16,
