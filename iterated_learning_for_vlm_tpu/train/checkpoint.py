@@ -52,15 +52,18 @@ def save_checkpoint(save_dir: str, state: TrainState, step: int,
         arch = os.path.abspath(save_dir.rstrip("/") + "_k_times")
         os.makedirs(arch, exist_ok=True)
         targets.append(os.path.join(arch, f"ckpt_{step}"))
+    # force=True: re-running an experiment into the same output dir replaces
+    # stale ckpt_{step} dirs (reference ``torch.save`` overwrites silently;
+    # without it Orbax aborts the whole run on "destination already exists").
     if use_async:
         ckptr = _async_checkpointer()
         for t in targets:
             ckptr.wait_until_finished()  # at most one write in flight
-            ckptr.save(t, args=ocp.args.StandardSave(state))
+            ckptr.save(t, args=ocp.args.StandardSave(state), force=True)
     else:
         for t in targets:
             with ocp.StandardCheckpointer() as ckptr:
-                ckptr.save(t, state)
+                ckptr.save(t, state, force=True)
     return path
 
 

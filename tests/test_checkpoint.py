@@ -38,6 +38,22 @@ def test_roundtrip(tmp_path):
                                   np.asarray(state.stored_codebook))
 
 
+@pytest.mark.parametrize("use_async", [False, True])
+def test_rerun_overwrites_stale_checkpoint(tmp_path, use_async):
+    """Re-running an experiment into the same output dir must replace a stale
+    ``ckpt_{step}`` (reference ``torch.save`` overwrites silently; Orbax would
+    otherwise abort the run with "destination already exists")."""
+    from iterated_learning_for_vlm_tpu.train.checkpoint import wait_for_saves
+
+    stale, fresh = _tiny_state(0), _tiny_state(1)
+    save_checkpoint(str(tmp_path), stale, 3, use_async=use_async)
+    save_checkpoint(str(tmp_path), fresh, 3, use_async=use_async)
+    wait_for_saves()
+    restored = restore_checkpoint(str(tmp_path / "ckpt_3"), _tiny_state(2))
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(fresh.params["w"]))
+
+
 def test_find_last(tmp_path):
     for step in (5, 20, 10):
         save_checkpoint(str(tmp_path), _tiny_state(), step)
