@@ -240,57 +240,82 @@ def _drop_arg(kernel, pos):
     return wrapped
 
 
+def _auto_tiles(t: int):
+    """(fwd, bwd) ``(bb, nn)`` tile points by token count, from the on-chip
+    sweep at bs256 / sd 4096x512 (tools/codebook_tile_sweep.py, v5e):
+    vision T=50 — fwd best at the round-1 point (8, 512) but bwd 14% faster
+    at (32, 512); text T=77 — (16, 1024) wins both directions (fwd 2.04 ->
+    1.80 ms, bwd 3.14 -> 2.83).  Larger tiles VMEM-OOM at these shapes.
+    T > 128 (B/16's 197 patch tokens) stays at the conservative round-1
+    point: the bwd routing matrix [bb, T, nn] scales with bb*T*nn."""
+    if t <= 64:
+        return (8, 512), (32, 512)
+    if t <= 128:
+        return (16, 1024), (16, 1024)
+    return (8, 512), (8, 512)
+
+
 # -- SPMD rules (ops/partitioning.py): under a dp-sharded jit each device
 # runs the kernels on its batch shard (codebook + temperature replicated);
 # the codebook gradient is a cross-batch reduction, psum-ed by the rule.
 # Without these the partitioner would replicate the opaque Mosaic calls,
 # all-gathering the global batch onto every chip.
-def _fwd_sharded(q, sd, keep, temperature):
+def _fwd_sharded(q, sd, keep, temperature, tiles=None):
     from .partitioning import batch_partitioned
 
+    bb, nn = tiles if tiles is not None else _auto_tiles(q.shape[1])[0]
     temp = jnp.asarray(temperature, jnp.float32)
     if keep is None:
         return batch_partitioned(
-            lambda q_, sd_, t_: _pooled_fwd(q_, sd_, None, t_),
+            lambda q_, sd_, t_: _pooled_fwd(q_, sd_, None, t_, bb=bb, nn=nn),
             batch_args=(0,),
         )(q, sd, temp)
     return batch_partitioned(
-        lambda q_, sd_, k_, t_: _pooled_fwd(q_, sd_, k_, t_),
+        lambda q_, sd_, k_, t_: _pooled_fwd(q_, sd_, k_, t_, bb=bb, nn=nn),
         batch_args=(0, 2),
     )(q, sd, keep, temp)
 
 
-def _bwd_sharded(q, sd, keep, temperature, amax, dpooled):
+def _bwd_sharded(q, sd, keep, temperature, amax, dpooled, tiles=None):
     from .partitioning import batch_partitioned
 
+    bb, nn = tiles if tiles is not None else _auto_tiles(q.shape[1])[1]
     temp = jnp.asarray(temperature, jnp.float32)
     if keep is None:
         return batch_partitioned(
-            lambda q_, sd_, t_, a_, g_: _pooled_bwd(q_, sd_, None, t_, a_, g_),
+            lambda q_, sd_, t_, a_, g_: _pooled_bwd(q_, sd_, None, t_, a_, g_, bb=bb, nn=nn),
             batch_args=(0, 3, 4), reduced_outs=(1,),
         )(q, sd, temp, amax, dpooled)
     return batch_partitioned(
-        lambda q_, sd_, k_, t_, a_, g_: _pooled_bwd(q_, sd_, k_, t_, a_, g_),
+        lambda q_, sd_, k_, t_, a_, g_: _pooled_bwd(q_, sd_, k_, t_, a_, g_, bb=bb, nn=nn),
         batch_args=(0, 2, 4, 5), reduced_outs=(1,),
     )(q, sd, keep, temp, amax, dpooled)
 
 
 # -- custom-vjp pooled op ----------------------------------------------------
-@jax.custom_vjp
-def pooled_codebook_logits(q, sd, keep, temperature):
-    """max_t of masked scaled codebook inner products; [B, N] fp32."""
-    pooled, _ = _fwd_sharded(q, sd, keep, temperature)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def pooled_codebook_logits(q, sd, keep, temperature,
+                           fwd_tiles=None, bwd_tiles=None):
+    """max_t of masked scaled codebook inner products; [B, N] fp32.
+
+    ``fwd_tiles``/``bwd_tiles`` are optional static ``(bb, nn)`` kernel tile
+    overrides; ``None`` picks the swept optimum for the token count
+    (``_auto_tiles``)."""
+    pooled, _ = _fwd_sharded(q, sd, keep, temperature, fwd_tiles)
     return pooled
 
 
-def _pcl_fwd(q, sd, keep, temperature):
-    pooled, amax = _fwd_sharded(q, sd, keep, temperature)
+# fwd rule keeps the primal signature (nondiff args stay in position);
+# only the bwd rule receives them as leading args.
+def _pcl_fwd(q, sd, keep, temperature, fwd_tiles, bwd_tiles):
+    pooled, amax = _fwd_sharded(q, sd, keep, temperature, fwd_tiles)
     return pooled, (q, sd, keep, temperature, amax)
 
 
-def _pcl_bwd(res, g):
+def _pcl_bwd(fwd_tiles, bwd_tiles, res, g):
     q, sd, keep, temperature, amax = res
-    dq, dsd = _bwd_sharded(q, sd, keep, temperature, amax, g.astype(jnp.float32))
+    dq, dsd = _bwd_sharded(q, sd, keep, temperature, amax,
+                           g.astype(jnp.float32), bwd_tiles)
     return dq, dsd, None, None
 
 
@@ -303,18 +328,23 @@ def fused_codebook_attention(
     keep_mask: Optional[jnp.ndarray] = None,
     temperature: float = 1.0,
     pool_type: str = "max",
+    fwd_tiles: Optional[tuple] = None,
+    bwd_tiles: Optional[tuple] = None,
 ):
     """Fused equivalent of the sparsemax/max-pool QueryModel attention chain.
 
     q: [B, T, D] query-projected tokens; sd: [N, D] codebook;
-    keep_mask: optional [B, T] bool/0-1 (True = real token).
+    keep_mask: optional [B, T] bool/0-1 (True = real token);
+    fwd_tiles/bwd_tiles: optional static (bb, nn) kernel tile overrides
+    (default: the swept per-token-count optimum, ``_auto_tiles``).
     Returns (att_weight [B, N], att_ft [B, D]) matching the XLA path.
     """
     assert pool_type == "max", "fused kernel implements the shipped max-pool config"
     keep = None if keep_mask is None else keep_mask.astype(jnp.float32)
     # keep q/sd in the compute dtype (bf16 under mixed precision); the kernel
     # accumulates fp32 and the pooled logits/sparsemax stay fp32.
-    pooled = pooled_codebook_logits(q, sd.astype(q.dtype), keep, temperature)
+    pooled = pooled_codebook_logits(q, sd.astype(q.dtype), keep, temperature,
+                                    fwd_tiles, bwd_tiles)
     att = sparsemax_bisect(pooled)
     att_ft = jnp.einsum("bn,nd->bd", att, sd.astype(jnp.float32),
                         preferred_element_type=jnp.float32)

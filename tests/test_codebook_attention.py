@@ -52,6 +52,25 @@ def test_fused_attention_matches(data):
     np.testing.assert_allclose(np.asarray(att_ft), np.asarray(ref_ft), atol=1e-4)
 
 
+def test_explicit_tile_overrides_match_auto(data):
+    """Static (bb, nn) tile overrides (fwd_tiles/bwd_tiles) change only the
+    kernel schedule — values and grads must be identical to the auto-picked
+    tiles (the on-chip sweep tunes these per token count)."""
+    q, sd, keep = data
+
+    def f(q_, sd_, tiles):
+        att, att_ft = fused_codebook_attention(
+            q_, sd_, keep_mask=keep, temperature=7.0,
+            fwd_tiles=tiles, bwd_tiles=tiles)
+        return jnp.sum(att_ft ** 2)
+
+    base = jax.grad(f, argnums=(0, 1))(q, sd, None)
+    for tiles in [(2, 32), (4, 64), (1, 16)]:
+        got = jax.jit(jax.grad(f, argnums=(0, 1)), static_argnums=2)(q, sd, tiles)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(base[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(base[1]), atol=1e-5)
+
+
 def test_gradients_match(data):
     q, sd, keep = data
 
