@@ -11,6 +11,10 @@ Measured (v5e, bs256, round 2.1) — ms per call:
   g4sg2 2.00, g2sg4 2.09, g6sg2 2.33, g12sg1 2.34, g4sg4 2.47, g6sg4 VMEM-OOM
   — the forward tiling point is also the backward optimum.
 
+Round 2.2 recheck (kernel now reads/writes at TRUE S, no 77->80 pad pass):
+  text still ties/loses — xla 1.68/2.12 vs best fused fwd+bwd 2.15
+  (g2sg2, g1sg4); the text tower stays on the XLA path.
+
 Usage: python tools/attn_microbench.py [vision|text|bwd]
 """
 import os
