@@ -244,14 +244,19 @@ def _auto_tiles(t: int):
     """(fwd, bwd) ``(bb, nn)`` tile points by token count, from the on-chip
     sweep at bs256 / sd 4096x512 (tools/codebook_tile_sweep.py, v5e):
     vision T=50 — fwd best at the round-1 point (8, 512) but bwd 14% faster
-    at (32, 512); text T=77 — (16, 1024) wins both directions (fwd 2.04 ->
-    1.80 ms, bwd 3.14 -> 2.83).  Larger tiles VMEM-OOM at these shapes.
-    T > 128 (B/16's 197 patch tokens) stays at the conservative round-1
-    point: the bwd routing matrix [bb, T, nn] scales with bb*T*nn."""
+    at (32, 512); text T=77 — fwd best at (16, 1024) (2.04 -> 1.80 ms), bwd
+    at (8, 1024) (3.14 -> 3.12).  The text bwd's sweep winner (16, 1024),
+    2.83 ms, sits ON the 16 MB scoped-VMEM edge: it compiles in some
+    enclosing programs (bench's full step) and OOMs in others (a bare grads
+    jit, 17.35 M stack) — context-dependent compile failures, so it is NOT
+    auto-picked; opt in via ``bwd_tiles`` where the program is known to fit.
+    Larger tiles VMEM-OOM outright.  T > 128 (B/16's 197 patch tokens) stays
+    at the conservative round-1 point: the bwd routing matrix [bb, T, nn]
+    scales with bb*T*nn."""
     if t <= 64:
         return (8, 512), (32, 512)
     if t <= 128:
-        return (16, 1024), (16, 1024)
+        return (16, 1024), (8, 1024)
     return (8, 512), (8, 512)
 
 
