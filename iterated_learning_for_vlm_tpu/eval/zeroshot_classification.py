@@ -14,15 +14,23 @@ import numpy as np
 
 
 def build_zeroshot_classifier(
-    encoder, classnames: Sequence[str], templates: Sequence[str]
+    encoder, classnames: Sequence[str], templates
 ) -> np.ndarray:
-    """[D, C] prompt-ensembled classifier weights."""
+    """[D, C] prompt-ensembled classifier weights.
+
+    ``templates`` is either a list of generic prompts specialised per class
+    ("a photo of a {c}"), or a dict keyed by classname with class-specific
+    prompt lists (CuPL, reference ``zeroshot_classification.py:43-46``,
+    fed via ``--custom_template_file``)."""
     weights = []
     for classname in classnames:
-        prompts = [
-            t.format(c=classname) if "{c}" in t else t.format(classname)
-            for t in templates
-        ]
+        if isinstance(templates, dict):
+            prompts = list(templates[classname])
+        else:
+            prompts = [
+                t.format(c=classname) if "{c}" in t else t.format(classname)
+                for t in templates
+            ]
         emb = encoder.encode_texts(prompts)  # [T, D] already normalised
         mean = emb.mean(axis=0)
         mean /= np.linalg.norm(mean) + 1e-10

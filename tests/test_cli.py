@@ -196,7 +196,7 @@ def test_dataset_list_file_and_product(tmp_path, monkeypatch):
     dataset per line (reference cli.py:135-145 / test.sh webdatasets.txt)."""
     from iterated_learning_for_vlm_tpu.eval import builder
 
-    def fake_build(name, root="", split="test"):
+    def fake_build(name, root="", split="test", language="en"):
         ds = _tiny_dummy()
         ds.name = name
         return ds
@@ -253,7 +253,7 @@ def test_linear_probe_val_split(tmp_path, monkeypatch):
     from iterated_learning_for_vlm_tpu.eval import builder
 
     monkeypatch.setattr(builder, "build_dataset",
-                        lambda name, root="", split="test": _tiny_dummy())
+                        lambda name, root="", split="test", language="en": _tiny_dummy())
     cfg = _config_file(tmp_path)
     rec = eval_cli.main([
         "eval", "--model_config", cfg, "--dataset", "dummy",

@@ -155,6 +155,18 @@ def test_zeroshot_classification_dummy():
     assert m["mean_per_class_recall"] == 1.0
 
 
+def test_zeroshot_class_specific_prompt_dict():
+    """CuPL-style templates: a dict keyed by classname with per-class prompt
+    lists (reference zeroshot_classification.py:43-46) must build the same
+    classifier as the equivalent specialised list prompts."""
+    enc = FakeEncoder()
+    classnames = ["c#3", "c#5"]
+    as_dict = build_zeroshot_classifier(
+        enc, classnames, {"c#3": ["c#3", "c#3"], "c#5": ["c#5"]})
+    as_list = build_zeroshot_classifier(enc, classnames, ["{}"])
+    np.testing.assert_allclose(as_dict, as_list, atol=1e-6)
+
+
 def test_results_evaluators(tmp_path):
     """Offline JSONL scorers (reference prototype/data/metrics/)."""
     import json as _json
