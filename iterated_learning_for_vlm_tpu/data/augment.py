@@ -1,4 +1,4 @@
-"""Image augmentation recipes (host-side, PIL + numpy).
+"""Image augmentation recipes (host-side; PIL path + native fused C path).
 
 Parity target: reference ``prototype/data/imagenet_dataloader.py:9-120``
 ``build_common_augmentation``:
@@ -12,11 +12,28 @@ Parity target: reference ``prototype/data/imagenet_dataloader.py:9-120``
 Outputs are NHWC float32 (TPU-native layout; the reference is NCHW).
 Randomness is driven by an explicit ``np.random.Generator`` so the pipeline
 is reproducible per (seed, epoch, shard, sample).
+
+Two executions of the same recipe:
+
+- **native** (default when it builds): ONE C call per image
+  (``data/native/fused_augment.c``) fusing crop-resize -> jitter -> gray ->
+  blur -> flip -> normalize; releases the GIL so the loader thread pool
+  scales across host cores.  ~1.8x the PIL path per core
+  (``tools/bench_ingest.py``; ``--no-native`` for the PIL ablation).
+- **PIL** fallback (``ILVLM_NATIVE_AUGMENT=0`` or no toolchain).
+
+Both paths draw ALL random parameters from the same helpers in the same
+order (:func:`mocov2_plan`), so a given (seed, sample) produces the same
+crop/jitter/blur/flip decisions either way.  Jitter/gray/HSV arithmetic is
+bit-exact to PIL; resampling differs slightly (float vs PIL fixed-point
+bicubic taps; one final quantization vs PIL's per-pass rounding in the box
+blur cascade) — pinned by tests/test_native_augment.py.
 """
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageFilter
@@ -39,15 +56,20 @@ def _to_array(img: Image.Image) -> np.ndarray:
     return arr * _NORM_SCALE + _NORM_OFFSET
 
 
-def random_resized_crop(
-    img: Image.Image,
+# --------------------------------------------------------------------------
+# Random parameter draws, shared by the PIL and native executions.
+# Draw ORDER is part of the contract: it pins the rng stream.
+# --------------------------------------------------------------------------
+
+def rrc_box(
+    w: int,
+    h: int,
     rng: np.random.Generator,
-    size: int = 224,
     scale: Tuple[float, float] = (0.2, 1.0),
     ratio: Tuple[float, float] = (3 / 4, 4 / 3),
-) -> Image.Image:
-    """torchvision RandomResizedCrop semantics (10 tries then center fallback)."""
-    w, h = img.size
+) -> Tuple[int, int, int, int]:
+    """torchvision RandomResizedCrop box (10 tries then center fallback):
+    returns (x, y, crop_w, crop_h) in source coordinates."""
     area = w * h
     for _ in range(10):
         target_area = area * rng.uniform(*scale)
@@ -58,7 +80,7 @@ def random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             x = int(rng.integers(0, w - cw + 1))
             y = int(rng.integers(0, h - ch + 1))
-            return img.resize((size, size), Image.BICUBIC, box=(x, y, x + cw, y + ch))
+            return x, y, cw, ch
     # fallback: center crop to in-range aspect
     in_ratio = w / h
     if in_ratio < ratio[0]:
@@ -67,7 +89,64 @@ def random_resized_crop(
         cw, ch = int(round(h * ratio[1])), h
     else:
         cw, ch = w, h
-    x, y = (w - cw) // 2, (h - ch) // 2
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+
+# op ids shared with the C kernel
+OP_BRIGHTNESS, OP_CONTRAST, OP_SATURATION, OP_HUE = 0, 1, 2, 3
+
+
+def jitter_plan(rng: np.random.Generator, brightness=0.4, contrast=0.4,
+                saturation=0.4, hue=0.1) -> List[Tuple[int, float]]:
+    """ColorJitter factors + application order: [(op_id, factor), ...]."""
+    ops: List[Tuple[int, float]] = []
+    if brightness > 0:
+        ops.append((OP_BRIGHTNESS, rng.uniform(max(0, 1 - brightness), 1 + brightness)))
+    if contrast > 0:
+        ops.append((OP_CONTRAST, rng.uniform(max(0, 1 - contrast), 1 + contrast)))
+    if saturation > 0:
+        ops.append((OP_SATURATION, rng.uniform(max(0, 1 - saturation), 1 + saturation)))
+    if hue > 0:
+        ops.append((OP_HUE, rng.uniform(-hue, hue)))
+    order = rng.permutation(len(ops))
+    return [ops[i] for i in order]
+
+
+@dataclass
+class AugmentPlan:
+    """All stochastic decisions of one MOCOV2_single application."""
+    box: Tuple[int, int, int, int]            # (x, y, cw, ch)
+    jitter: List[Tuple[int, float]]           # [] when the 0.8 gate fails
+    grayscale: bool
+    blur_sigma: float                         # <= 0 disables
+    flip: bool
+
+
+def mocov2_plan(w: int, h: int, rng: np.random.Generator) -> AugmentPlan:
+    box = rrc_box(w, h, rng)
+    jitter = jitter_plan(rng) if rng.random() < 0.8 else []
+    grayscale = rng.random() < 0.2
+    blur_sigma = -1.0
+    if rng.random() < 0.5:
+        blur_sigma = float(rng.uniform(0.1, 2.0))
+    flip = rng.random() < 0.5
+    return AugmentPlan(box, jitter, grayscale, blur_sigma, flip)
+
+
+# --------------------------------------------------------------------------
+# PIL execution
+# --------------------------------------------------------------------------
+
+def random_resized_crop(
+    img: Image.Image,
+    rng: np.random.Generator,
+    size: int = 224,
+    scale: Tuple[float, float] = (0.2, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+) -> Image.Image:
+    """torchvision RandomResizedCrop semantics (10 tries then center fallback)."""
+    w, h = img.size
+    x, y, cw, ch = rrc_box(w, h, rng, scale, ratio)
     return img.resize((size, size), Image.BICUBIC, box=(x, y, x + cw, y + ch))
 
 
@@ -84,45 +163,108 @@ def _hue_shift(im: Image.Image, f: float) -> Image.Image:
     return Image.merge("HSV", (h.point(lut), s, v)).convert("RGB")
 
 
+_PIL_JITTER_OPS = {
+    OP_BRIGHTNESS: lambda im, f: ImageEnhance.Brightness(im).enhance(f),
+    OP_CONTRAST: lambda im, f: ImageEnhance.Contrast(im).enhance(f),
+    OP_SATURATION: lambda im, f: ImageEnhance.Color(im).enhance(f),
+    OP_HUE: _hue_shift,
+}
+
+
 def color_jitter(img: Image.Image, rng: np.random.Generator,
                  brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1) -> Image.Image:
-    ops = []
-    if brightness > 0:
-        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
-        ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
-    if contrast > 0:
-        f = rng.uniform(max(0, 1 - contrast), 1 + contrast)
-        ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
-    if saturation > 0:
-        f = rng.uniform(max(0, 1 - saturation), 1 + saturation)
-        ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
-    if hue > 0:
-        f = rng.uniform(-hue, hue)
-        ops.append(lambda im, f=f: _hue_shift(im, f))
-    order = rng.permutation(len(ops))
-    for i in order:
-        img = ops[i](img)
+    for op, f in jitter_plan(rng, brightness, contrast, saturation, hue):
+        img = _PIL_JITTER_OPS[op](img, f)
     return img
 
 
-def mocov2_single(img: Image.Image, rng: np.random.Generator, size: int = 224) -> np.ndarray:
-    img = img.convert("RGB")
-    img = random_resized_crop(img, rng, size=size)
-    if rng.random() < 0.8:
-        img = color_jitter(img, rng)
-    if rng.random() < 0.2:
+def _mocov2_pil(img: Image.Image, plan: AugmentPlan, size: int) -> np.ndarray:
+    x, y, cw, ch = plan.box
+    img = img.resize((size, size), Image.BICUBIC, box=(x, y, x + cw, y + ch))
+    for op, f in plan.jitter:
+        img = _PIL_JITTER_OPS[op](img, f)
+    if plan.grayscale:
         img = img.convert("L").convert("RGB")
-    if rng.random() < 0.5:
-        sigma = rng.uniform(0.1, 2.0)
-        img = img.filter(ImageFilter.GaussianBlur(radius=sigma))
-    if rng.random() < 0.5:
+    if plan.blur_sigma > 0:
+        img = img.filter(ImageFilter.GaussianBlur(radius=plan.blur_sigma))
+    if plan.flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     return _to_array(img)
 
 
-def onecrop(img: Image.Image, rng: np.random.Generator | None = None,
-            resize: int = 256, size: int = 224) -> np.ndarray:
-    img = img.convert("RGB")
+# --------------------------------------------------------------------------
+# Native execution
+# --------------------------------------------------------------------------
+
+def _native_lib():
+    from . import native
+
+    return native if native.available() else None
+
+
+def _mocov2_native(arr: np.ndarray, plan: AugmentPlan, size: int) -> np.ndarray:
+    from . import native
+
+    x, y, cw, ch = plan.box
+    return native.fused_augment(
+        arr, (x, y, cw, ch), size,
+        [op for op, _ in plan.jitter], [f for _, f in plan.jitter],
+        plan.grayscale, plan.blur_sigma, plan.flip,
+        _NORM_SCALE, _NORM_OFFSET,
+    )
+
+
+def _as_rgb_array(img) -> np.ndarray:
+    if isinstance(img, np.ndarray):
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        return np.ascontiguousarray(img[..., :3], dtype=np.uint8)
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Recipes
+# --------------------------------------------------------------------------
+
+def mocov2_single(img, rng: np.random.Generator, size: int = 224,
+                  native: Optional[bool] = None) -> np.ndarray:
+    """MOCOV2_single on a PIL image (or HxWx3 uint8 array).
+
+    ``native=None`` auto-selects the fused C path when it is built
+    (``ILVLM_NATIVE_AUGMENT=0`` forces PIL); both paths consume the identical
+    rng stream via :func:`mocov2_plan`."""
+    use_native = _native_lib() is not None if native is None else native
+    if use_native:
+        arr = _as_rgb_array(img)
+        plan = mocov2_plan(arr.shape[1], arr.shape[0], rng)
+        return _mocov2_native(arr, plan, size)
+    img = img.convert("RGB") if not isinstance(img, np.ndarray) else Image.fromarray(img)
+    plan = mocov2_plan(img.size[0], img.size[1], rng)
+    return _mocov2_pil(img, plan, size)
+
+
+def onecrop(img, rng: np.random.Generator | None = None,
+            resize: int = 256, size: int = 224,
+            native: Optional[bool] = None) -> np.ndarray:
+    use_native = _native_lib() is not None if native is None else native
+    if use_native:
+        from . import native as native_mod
+
+        arr = _as_rgb_array(img)
+        h, w = arr.shape[:2]
+        if w < h:
+            nw, nh = resize, int(round(h * resize / w))
+        else:
+            nw, nh = int(round(w * resize / h)), resize
+        left, top = (nw - size) // 2, (nh - size) // 2
+        # fused box resize == staged resize-then-crop: out pixel i center maps
+        # to (left + i + 0.5) * w / nw either way (same filterscale)
+        sx, sy = w / nw, h / nh
+        return native_mod.fused_augment(
+            arr, (left * sx, top * sy, size * sx, size * sy), size,
+            [], [], False, -1.0, False, _NORM_SCALE, _NORM_OFFSET,
+        )
+    img = img.convert("RGB") if not isinstance(img, np.ndarray) else Image.fromarray(img)
     w, h = img.size
     if w < h:
         nw, nh = resize, int(round(h * resize / w))

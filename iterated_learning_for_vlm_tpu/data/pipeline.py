@@ -192,21 +192,26 @@ def get_wds_dataset(
                 stream = _buffered_shuffle(stream, SHUFFLE_BUFFER, rng)
             pool = ThreadPoolExecutor(max_workers=max(1, workers))
 
-            def work(sample):
+            # Per-sample seeds are drawn HERE (submitting thread) and each
+            # worker builds its own Generator: numpy Generators are not
+            # thread-safe, and sharing one across pool threads would make
+            # the augment stream depend on thread scheduling.
+            def work(sample, sample_seed):
                 img = _decode_image(sample)
                 txt = _decode_text(sample)
                 if img is None or txt is None:
                     return None
                 if text_map is not None:
-                    txt = text_map(txt, rng)
+                    txt = text_map(txt, random.Random(sample_seed ^ 0x9E3779B9))
+                sample_rng = np.random.default_rng(sample_seed)
                 if two_views:
-                    return augment(img, aug_rng), augment(img, aug_rng), txt
-                return augment(img, aug_rng), txt
+                    return augment(img, sample_rng), augment(img, sample_rng), txt
+                return augment(img, sample_rng), txt
 
             window: collections.deque = collections.deque()
             try:
                 for sample in stream:
-                    window.append(pool.submit(work, sample))
+                    window.append(pool.submit(work, sample, int(aug_rng.integers(2**63))))
                     if len(window) >= workers * 2:
                         result = window.popleft().result()
                         if result is not None:

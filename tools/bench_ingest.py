@@ -71,7 +71,15 @@ def main():
     p.add_argument("--workers", type=int, nargs="+", default=[1, 4])
     p.add_argument("--transforms", nargs="+",
                    default=["MOCOV2_single", "ONECROP"])
+    p.add_argument("--no-native", action="store_true",
+                   help="force the PIL augment path (ablation; the fused C "
+                        "path data/native/fused_augment.c is the default "
+                        "when it builds)")
     args = p.parse_args()
+
+    if args.no_native:
+        os.environ["ILVLM_NATIVE_AUGMENT"] = "0"
+    from iterated_learning_for_vlm_tpu.data import native
 
     pattern = ensure_shards(args.shard_dir)
     tokenizer = get_tokenizer()
@@ -79,6 +87,7 @@ def main():
         for workers in args.workers:
             rec = run_one(pattern, transforms, workers, args.batch_size,
                           args.batches, tokenizer)
+            rec["native_augment"] = native.available()
             print(json.dumps(rec))
 
 
