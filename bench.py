@@ -81,7 +81,7 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
 def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
          unroll=True, fused_attn=True, fused_attn_group=2, fused_attn_text=False,
          fused_attn_text_group=2, fused_attn_sample_group=2,
-         fused_attn_text_sample_group=2):
+         fused_attn_text_sample_group=2, bf16_moments=False):
     n_chips = jax.device_count()
     model = model_entry(model_cfg(remat, fused, flash, unroll, fused_attn,
                                   fused_attn_group, fused_attn_text,
@@ -102,7 +102,9 @@ def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=Fals
         "ln_w": {"weight_decay": 0}, "ln_b": {"weight_decay": 0},
         "bias": {"weight_decay": 0}, "logit_scale": {"weight_decay": 0}})
     state = TrainState.create(
-        params, adamw_init(params), trainable_mask_tree(params, frozenset()),
+        params,
+        adamw_init(params, jnp.bfloat16 if bf16_moments else None),
+        trainable_mask_tree(params, frozenset()),
         params["space_dict"],
     )
     schedule = cosine(5e-5, 5e-4, 0.0, 500, 80000, reset_steps=6000)
@@ -178,6 +180,10 @@ if __name__ == "__main__":
                    help="heads per block-diagonal matmul for the TEXT tower "
                         "(8 heads, S=77->80): smaller groups cut the g-fold "
                         "FLOP waste of the block-diagonal formulation")
+    p.add_argument("--bf16-moments", action="store_true",
+                   help="store AdamW moments in bf16 (optimizer.moment_dtype: "
+                        "bfloat16) — halves the bandwidth-bound optimizer "
+                        "update's HBM traffic; fp32 math, opt-in numerics")
     p.add_argument("--attn-sample-group-text", type=int, default=2,
                    help="samples fused per block-diagonal matmul for the "
                         "TEXT tower ablation (g=2 x sg=4 measured 1959 vs "
@@ -191,7 +197,8 @@ if __name__ == "__main__":
              fused_attn_text=a.fused_attn_text and not a.flash,
              fused_attn_text_group=a.attn_group_text,
              fused_attn_sample_group=a.attn_sample_group,
-             fused_attn_text_sample_group=a.attn_sample_group_text)
+             fused_attn_text_sample_group=a.attn_sample_group_text,
+             bf16_moments=a.bf16_moments)
     except Exception as e:  # fall back so the driver always gets a line
         msg = str(e)
         if "memory" in msg.lower() or "RESOURCE" in msg:

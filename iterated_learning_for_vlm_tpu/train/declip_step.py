@@ -44,6 +44,7 @@ def make_declip_train_step(
     b1: float = 0.9,
     b2: float = 0.98,
     eps: float = 1e-8,
+    moment_rounding: str = "stochastic",
     grad_clip_type: str = "none",
     grad_clip_value: float = 0.0,
     donate: bool = True,
@@ -112,7 +113,7 @@ def make_declip_train_step(
         lr = schedule(state.step + 1)
         new_params, new_opt = adamw_update(
             grads, state.opt_state, state.params,
-            lr=lr, wd_tree=wd_tree, trainable=state.trainable, b1=b1, b2=b2, eps=eps,
+            lr=lr, wd_tree=wd_tree, trainable=state.trainable, b1=b1, b2=b2, eps=eps, moment_rounding=moment_rounding,
         )
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt,

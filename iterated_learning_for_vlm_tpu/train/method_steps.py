@@ -25,6 +25,7 @@ def make_filip_train_step(
     b1: float = 0.9,
     b2: float = 0.98,
     eps: float = 1e-8,
+    moment_rounding: str = "stochastic",
     grad_clip_type: str = "none",
     grad_clip_value: float = 0.0,
     donate: bool = True,
@@ -52,7 +53,7 @@ def make_filip_train_step(
         lr = schedule(state.step + 1)
         new_params, new_opt = adamw_update(
             grads, state.opt_state, state.params, lr=lr, wd_tree=wd_tree,
-            trainable=state.trainable, b1=b1, b2=b2, eps=eps,
+            trainable=state.trainable, b1=b1, b2=b2, eps=eps, moment_rounding=moment_rounding,
         )
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt), {"loss": loss, "lr": lr, **metrics}
@@ -69,6 +70,7 @@ def make_slip_train_step(
     b1: float = 0.9,
     b2: float = 0.98,
     eps: float = 1e-8,
+    moment_rounding: str = "stochastic",
     donate: bool = True,
 ):
     """SLIP: CLIP InfoNCE + scaled SimCLR NT-Xent between the two views.
@@ -96,7 +98,7 @@ def make_slip_train_step(
         lr = schedule(state.step + 1)
         new_params, new_opt = adamw_update(
             grads, state.opt_state, state.params, lr=lr, wd_tree=wd_tree,
-            trainable=state.trainable, b1=b1, b2=b2, eps=eps,
+            trainable=state.trainable, b1=b1, b2=b2, eps=eps, moment_rounding=moment_rounding,
         )
         return state.replace(step=state.step + 1, params=new_params,
                              opt_state=new_opt), {"loss": loss, "lr": lr, **metrics}

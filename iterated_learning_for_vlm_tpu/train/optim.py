@@ -92,11 +92,60 @@ def trainable_mask_tree(
     return traverse_util.unflatten_dict(out)
 
 
+def _sr_hash(h: jnp.ndarray) -> jnp.ndarray:
+    """32-bit murmur3-style finalizer (uint32 in/out)."""
+    h = (h ^ (h >> 16)) * jnp.uint32(0x7FEB352D)
+    h = (h ^ (h >> 15)) * jnp.uint32(0x846CA68B)
+    return h ^ (h >> 16)
+
+
+def stochastic_round_bf16(x: jnp.ndarray, salt: jnp.ndarray) -> jnp.ndarray:
+    """Unbiased fp32 → bf16 store: add uniform [0, ulp) noise below the bf16
+    mantissa, then truncate.
+
+    Nearest-rounding a running average silently drops small updates once they
+    fall under half an ulp of the accumulator (swamping) — measured on-chip to
+    stall the bs32 plateau-break regime when AdamW moments are kept in plain
+    bf16.  SR keeps the accumulation unbiased in expectation.  The 16 noise
+    bits come from hashing (element index, per-leaf ``salt``) — independent of
+    the value being rounded, a few fused VPU ops per element, no threefry
+    traffic.  ``salt`` must change every step (we pass the AdamW step count).
+    """
+    x32 = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
+    idx = jax.lax.iota(jnp.uint32, x32.size).reshape(x32.shape)
+    noise = _sr_hash(idx * jnp.uint32(0x9E3779B1) ^ salt.astype(jnp.uint32)) & jnp.uint32(0xFFFF)
+    # inf/nan guard: leave non-finite values untouched (no carry into exponent)
+    rounded = jax.lax.bitcast_convert_type(
+        (bits + noise) & jnp.uint32(0xFFFF0000), jnp.float32)
+    rounded = jnp.where(jnp.isfinite(x32), rounded, x32)
+    return rounded.astype(jnp.bfloat16)
+
+
+def _store_moment(x: jnp.ndarray, dtype, salt: jnp.ndarray, stochastic: bool) -> jnp.ndarray:
+    if dtype == jnp.float32 or x.dtype == dtype:
+        return x.astype(dtype)
+    if stochastic and dtype == jnp.bfloat16:
+        return stochastic_round_bf16(x, salt)
+    return x.astype(dtype)
+
+
 # -- masked AdamW ------------------------------------------------------------
-def adamw_init(params: Params) -> Dict[str, Params]:
-    zeros = jax.tree.map(jnp.zeros_like, params)
+def adamw_init(params: Params, moment_dtype: Any = None) -> Dict[str, Params]:
+    """Zero AdamW state.
+
+    ``moment_dtype`` (e.g. ``jnp.bfloat16``) stores the first/second moments
+    compressed; ``adamw_update`` computes in fp32 and rounds back to the
+    stored dtype, so the knob halves the optimizer's HBM traffic (the AdamW
+    update is bandwidth-bound) at the cost of ~8-bit-mantissa moment noise.
+    Default ``None`` keeps fp32 moments (reference numerics,
+    ``prototype/optimizer/__init__.py`` torch AdamW).
+    """
+    def z(p):
+        return jnp.zeros(p.shape, moment_dtype or p.dtype)
+
     counts = jax.tree.map(lambda _: jnp.zeros((), jnp.float32), params)
-    return {"mu": zeros, "nu": jax.tree.map(jnp.zeros_like, params), "count": counts}
+    return {"mu": jax.tree.map(z, params), "nu": jax.tree.map(z, params), "count": counts}
 
 
 def adamw_update(
@@ -110,11 +159,21 @@ def adamw_update(
     b1: float = 0.9,
     b2: float = 0.98,
     eps: float = 1e-8,
+    moment_rounding: str = "stochastic",
 ):
-    """One AdamW step; frozen leaves (mask 0) keep params/moments/counts."""
+    """One AdamW step; frozen leaves (mask 0) keep params/moments/counts.
 
-    def leaf(g, mu, nu, cnt, p, wd, t):
+    When the moments are stored compressed (``adamw_init(moment_dtype=...)``)
+    the math still runs fp32 and the store-back uses stochastic rounding by
+    default (``moment_rounding="nearest"`` opts out) — see
+    ``stochastic_round_bf16`` for why nearest-rounding is not safe there.
+    """
+    stochastic = moment_rounding == "stochastic"
+
+    def leaf(g, mu, nu, cnt, p, wd, t, li):
         g = g.astype(jnp.float32)
+        mu_dt, nu_dt = mu.dtype, nu.dtype
+        mu, nu = mu.astype(jnp.float32), nu.astype(jnp.float32)
         new_cnt = cnt + t
         new_mu = jnp.where(t > 0, b1 * mu + (1 - b1) * g, mu)
         new_nu = jnp.where(t > 0, b2 * nu + (1 - b2) * (g * g), nu)
@@ -123,7 +182,12 @@ def adamw_update(
         nu_hat = new_nu / (1 - b2 ** c)
         step = mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * p
         new_p = jnp.where(t > 0, p - lr * step, p)
-        return new_p, new_mu, new_nu, new_cnt
+        # distinct noise streams per (leaf, step); mu/nu salted differently
+        salt = new_cnt.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B) ^ jnp.uint32(li)
+        return (new_p,
+                _store_moment(new_mu, mu_dt, salt, stochastic),
+                _store_moment(new_nu, nu_dt, salt ^ jnp.uint32(0x5BD1E995), stochastic),
+                new_cnt)
 
     flat_g = traverse_util.flatten_dict(grads)
     flat_mu = traverse_util.flatten_dict(state["mu"])
@@ -134,9 +198,10 @@ def adamw_update(
     flat_t = traverse_util.flatten_dict(trainable)
 
     new_p, new_mu, new_nu, new_c = {}, {}, {}, {}
-    for k in flat_p:
+    for li, k in enumerate(sorted(flat_p)):
         new_p[k], new_mu[k], new_nu[k], new_c[k] = leaf(
-            flat_g[k], flat_mu[k], flat_nu[k], flat_c[k], flat_p[k], flat_wd[k], flat_t[k]
+            flat_g[k], flat_mu[k], flat_nu[k], flat_c[k], flat_p[k], flat_wd[k], flat_t[k],
+            li,
         )
     unf = traverse_util.unflatten_dict
     return unf(new_p), {"mu": unf(new_mu), "nu": unf(new_nu), "count": unf(new_c)}

@@ -180,7 +180,10 @@ class Solver:
         pconfig = opt_cfg.get("pconfig", {})
         kwargs = opt_cfg.get("kwargs", {})
         self.wd_tree = build_wd_tree(self.params, float(kwargs.get("weight_decay", 0.0)), pconfig)
-        opt_state = adamw_init(self.params)
+        # optimizer.moment_dtype: bfloat16 halves AdamW HBM traffic (opt-in;
+        # fp32 default == reference torch AdamW numerics).
+        moment_dtype = opt_cfg.get("moment_dtype")
+        opt_state = adamw_init(self.params, jnp.dtype(moment_dtype) if moment_dtype else None)
         trainable = trainable_mask_tree(self.params, frozenset())
         stored = self.params.get("space_dict") if self.is_fdt else None
         spectral_u = None
@@ -197,7 +200,8 @@ class Solver:
         self.state = replicate_tree(self.state, self.mesh)
         betas = kwargs.get("betas", [0.9, 0.98])
         self._adam_kw = dict(b1=float(betas[0]), b2=float(betas[1]),
-                             eps=float(kwargs.get("eps", 1e-8)))
+                             eps=float(kwargs.get("eps", 1e-8)),
+                             moment_rounding=opt_cfg.get("moment_rounding", "stochastic"))
 
     def _build_data(self):
         dcfg = self.config.data.train

@@ -46,6 +46,7 @@ def make_train_step(
     b1: float = 0.9,
     b2: float = 0.98,
     eps: float = 1e-8,
+    moment_rounding: str = "stochastic",
     reference_scale: float = 1.0,
     donate: bool = True,
     spectral_norm: bool = False,
@@ -122,7 +123,7 @@ def make_train_step(
         new_params, new_opt = adamw_update(
             grads, state.opt_state, params,
             lr=lr, wd_tree=wd_tree, trainable=state.trainable,
-            b1=b1, b2=b2, eps=eps,
+            b1=b1, b2=b2, eps=eps, moment_rounding=moment_rounding,
         )
 
         # param_clip_after (train_solver.py:384-399)

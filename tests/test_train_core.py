@@ -308,3 +308,91 @@ def test_best_composition_score_tracking(tmp_path, monkeypatch):
     assert solver.best_composition_score == scores[0]
     Solver.evaluate(solver, 3)  # improvement -> best replaced
     assert solver.best_composition_score == scores[2]
+
+
+def test_adamw_bf16_moments_track_fp32():
+    """optimizer.moment_dtype=bfloat16: moments stay compressed in the state,
+    math runs fp32, and the trajectory tracks the fp32-moment run closely."""
+    key = jax.random.PRNGKey(0)
+    params = {"w": jax.random.normal(key, (16, 8)) * 0.1, "b": jnp.zeros((8,))}
+    wd = {"w": 0.1, "b": 0.0}
+    mask = {"w": jnp.ones(()), "b": jnp.ones(())}
+
+    s32 = adamw_init(params)
+    s16 = adamw_init(params, jnp.bfloat16)
+    assert s16["mu"]["w"].dtype == jnp.bfloat16
+    assert s16["nu"]["w"].dtype == jnp.bfloat16
+
+    p32, p16 = params, params
+    for i in range(20):
+        g = {"w": jax.random.normal(jax.random.fold_in(key, i), (16, 8)) * 0.05,
+             "b": jnp.ones((8,)) * 0.01}
+        p32, s32 = adamw_update(g, s32, p32, lr=1e-3, wd_tree=wd, trainable=mask)
+        p16, s16 = adamw_update(g, s16, p16, lr=1e-3, wd_tree=wd, trainable=mask)
+
+    # compressed state keeps its dtype through updates (checkpoint-stable)
+    assert s16["mu"]["w"].dtype == jnp.bfloat16
+    assert s16["nu"]["w"].dtype == jnp.bfloat16
+    # params remain fp32 and within moment-rounding noise of the fp32 run
+    assert p16["w"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
+                               atol=5e-4, rtol=0)
+    # and both actually moved
+    assert not np.allclose(np.asarray(p32["w"]), np.asarray(params["w"]))
+
+
+def test_stochastic_round_bf16_unbiased_accumulation():
+    """The motivating failure: accumulating c*g onto a bf16 running average
+    with nearest-rounding freezes once the increment falls under ulp/2;
+    stochastic rounding keeps the expectation moving."""
+    from iterated_learning_for_vlm_tpu.train.optim import stochastic_round_bf16
+
+    n = 4096
+    acc_sr = jnp.full((n,), 1.0, jnp.bfloat16)
+    acc_rn = jnp.full((n,), 1.0, jnp.bfloat16)
+    inc = 1e-4  # ~1/39 of bf16 ulp at 1.0 (ulp = 2^-8 * 2 = 0.0078)
+    for step in range(400):
+        salt = jnp.asarray(step, jnp.uint32)
+        acc_sr = stochastic_round_bf16(acc_sr.astype(jnp.float32) + inc, salt)
+        acc_rn = (acc_rn.astype(jnp.float32) + inc).astype(jnp.bfloat16)
+    # nearest: swamped, never moves
+    np.testing.assert_array_equal(np.asarray(acc_rn, np.float32), 1.0)
+    # SR: mean tracks the true sum 1.0 + 400*1e-4 = 1.04 within a few ulp/sqrt(n)
+    mean_sr = float(np.mean(np.asarray(acc_sr, np.float32)))
+    assert abs(mean_sr - 1.04) < 2e-3, mean_sr
+
+
+def test_stochastic_round_bf16_deterministic_and_exact():
+    from iterated_learning_for_vlm_tpu.train.optim import stochastic_round_bf16
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(512), jnp.float32)
+    salt = jnp.asarray(7, jnp.uint32)
+    a = stochastic_round_bf16(x, salt)
+    b = stochastic_round_bf16(x, salt)
+    np.testing.assert_array_equal(np.asarray(a, np.float32), np.asarray(b, np.float32))
+    # values already representable in bf16 pass through unchanged
+    xb = x.astype(jnp.bfloat16).astype(jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(stochastic_round_bf16(xb, salt), np.float32),
+        np.asarray(xb.astype(jnp.bfloat16), np.float32))
+    # rounded result is always one of the two bf16 neighbours
+    lo = x.astype(jnp.bfloat16).astype(np.float32)
+    out = np.asarray(a, np.float32)
+    neighbour = np.abs(out - np.asarray(lo)) <= np.abs(np.asarray(xb) * 2**-7) + 1e-30
+    assert neighbour.all()
+
+
+def test_adamw_bf16_sr_frozen_leaves_stay_exact():
+    """SR must not perturb frozen leaves (mask 0): bf16 values are exact in
+    fp32, so noise below the mantissa cannot carry."""
+    params = _toy_params()
+    grads = jax.tree.map(lambda p: jnp.ones_like(p) * 0.5, params)
+    wd = build_wd_tree(params, 0.0, {})
+    state = adamw_init(params, jnp.bfloat16)
+    mask = trainable_mask_tree(params, frozenset({"vision"}))
+    for _ in range(3):
+        _, state = adamw_update(grads, state, params, lr=0.1, wd_tree=wd,
+                                trainable=mask, moment_rounding="stochastic")
+    np.testing.assert_array_equal(
+        np.asarray(state["mu"]["visual"]["proj"], np.float32), 0.0)
+    assert float(state["count"]["visual"]["proj"]) == 0.0
