@@ -81,7 +81,7 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
 def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
          unroll=True, fused_attn=True, fused_attn_group=2, fused_attn_text=False,
          fused_attn_text_group=2, fused_attn_sample_group=2,
-         fused_attn_text_sample_group=2, bf16_moments=False):
+         fused_attn_text_sample_group=2, bf16_moments=False, ctx=77):
     n_chips = jax.device_count()
     model = model_entry(model_cfg(remat, fused, flash, unroll, fused_attn,
                                   fused_attn_group, fused_attn_text,
@@ -91,8 +91,8 @@ def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=Fals
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(rng.standard_normal((batch_size, 224, 224, 3), dtype=np.float32)),
-        "tokens": jnp.asarray(rng.integers(1, 49407, (batch_size, 77)), jnp.int32),
-        "pad_mask": jnp.zeros((batch_size, 77), jnp.float32),
+        "tokens": jnp.asarray(rng.integers(1, 49407, (batch_size, ctx)), jnp.int32),
+        "pad_mask": jnp.zeros((batch_size, ctx), jnp.float32),
     }
 
     params = model.init(
@@ -184,6 +184,14 @@ if __name__ == "__main__":
                    help="store AdamW moments in bf16 (optimizer.moment_dtype: "
                         "bfloat16) — halves the bandwidth-bound optimizer "
                         "update's HBM traffic; fp32 math, opt-in numerics")
+    p.add_argument("--ctx", type=int, default=77,
+                   help="static text context length for the synthetic batch. "
+                        "The shipping pipeline buckets real batches to the "
+                        "smallest context that holds every caption "
+                        "(data.train.context_buckets) — CC3M captions "
+                        "average ~12 BPE tokens, so training runs mostly at "
+                        "the 32 bucket; 77 is the reference's always-full "
+                        "context (and this bench's default).")
     p.add_argument("--attn-sample-group-text", type=int, default=2,
                    help="samples fused per block-diagonal matmul for the "
                         "TEXT tower ablation (g=2 x sg=4 measured 1959 vs "
@@ -198,7 +206,7 @@ if __name__ == "__main__":
              fused_attn_text_group=a.attn_group_text,
              fused_attn_sample_group=a.attn_sample_group,
              fused_attn_text_sample_group=a.attn_sample_group_text,
-             bf16_moments=a.bf16_moments)
+             bf16_moments=a.bf16_moments, ctx=a.ctx)
     except Exception as e:  # fall back so the driver always gets a line
         msg = str(e)
         if "memory" in msg.lower() or "RESOURCE" in msg:

@@ -120,6 +120,36 @@ def _buffered_shuffle(it: Iterator, buffer: int, rng: random.Random) -> Iterator
     yield from buf
 
 
+def bucket_context(batch: Dict[str, np.ndarray], buckets) -> Dict[str, np.ndarray]:
+    """Slice the batch's token keys to the smallest static context bucket that
+    holds every caption (TPU static-shape bucketing; new vs the reference,
+    which always computes the full 77-token context,
+    ``text_transformer.py:155-167``).
+
+    Exact (up to XLA reduction-order float reassociation between the two
+    program shapes): under causal masking the EOT feature only depends on positions
+    <= EOT, and every other consumer of token features (FDT codebook pooling,
+    FILIP late interaction, MLM labels) is pad-masked — so dropping all-pad
+    tail columns cannot change any output.  CC3M captions average ~12 BPE
+    tokens, so a [32, 77] bucket pair removes ~60% of the text-tower FLOPs
+    on most batches at the cost of one extra compile per bucket.
+    """
+    if not buckets:
+        return batch
+    ctx = batch["tokens"].shape[1]
+    max_len = int((batch["pad_mask"] == 0.0).sum(axis=1).max())
+    for b in sorted(int(x) for x in buckets):
+        if max_len <= b <= ctx:
+            if b == ctx:
+                return batch
+            out = dict(batch)
+            for key in ("tokens", "pad_mask", "mlm_labels"):
+                if key in out:
+                    out[key] = np.ascontiguousarray(out[key][:, :b])
+            return out
+    return batch
+
+
 def get_wds_dataset(
     cfg,
     world_size: int = 1,
@@ -163,6 +193,17 @@ def get_wds_dataset(
                              transforms_name in ("MOCOV2", "SIMCLR", "SIMSIAM")))
     tokenizer = tokenizer or get_tokenizer()
     context_length = int(cfg.get("context_length", 77))
+    # Context-length bucketing (see bucket_context).  Disabled under
+    # multi-host data sharding: the bucket is a per-batch *global* program
+    # shape, and per-host loaders cannot agree on it without a host sync.
+    context_buckets = cfg.get("context_buckets") or ()
+    if context_buckets and world_size > 1:
+        logger.warning(
+            "data.train.context_buckets disabled: %d-way host sharding needs "
+            "a per-step cross-host shape agreement (fixed context only).",
+            world_size,
+        )
+        context_buckets = ()
     # MLM masking (reference masks inside the text tokenizer,
     # text_transformer.py:172-174: the masked sequence feeds BOTH the
     # contrastive text embedding and the MLM labels) — here it runs host-side
@@ -254,7 +295,7 @@ def get_wds_dataset(
                     batch["mlm_labels"] = labels.astype(np.int32)
                 if two_views:
                     batch["image_v2"] = np.stack(images_v2).astype(np.float32)
-                yield batch
+                yield bucket_context(batch, context_buckets)
                 images, images_v2, texts = [], [], []
                 produced += 1
                 if produced >= num_batches:

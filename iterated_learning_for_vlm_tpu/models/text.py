@@ -69,7 +69,12 @@ class TextTransformer(nn.Module):
             pos = self.param(
                 "positional_embedding", scaled_normal(0.01), (cfg.context_length, cfg.width)
             )
-            emb = emb + pos.astype(self.dtype)
+            # Tokens may arrive at a shorter static context than the param
+            # table (context-length bucketing, data/pipeline.py): causal
+            # masking + EOT/pad-masked pooling make the first-S slice
+            # mathematically exact vs the full-77 run for captions that fit
+            # (fp-equal up to XLA reduction-order reassociation).
+            emb = emb + pos[: emb.shape[1]].astype(self.dtype)
 
         x = Transformer(
             width=cfg.width,

@@ -1,0 +1,183 @@
+"""Context-length bucketing: static-shape text-context reduction.
+
+New vs the reference (which always computes the full 77-token context,
+``text_transformer.py:155-167``): batches whose captions all fit a smaller
+bucket run the text tower at that static length.  These tests pin the two
+load-bearing claims: (a) the bucket slice is exact — every consumer of token
+features is causal/EOT/pad-masked, so dropping all-pad tail columns changes
+no output; (b) the pipeline picks the right bucket and stays off under
+multi-host sharding.
+"""
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from iterated_learning_for_vlm_tpu.data.pipeline import bucket_context, get_wds_dataset
+from iterated_learning_for_vlm_tpu.data.shards import write_tar_shard
+from iterated_learning_for_vlm_tpu.models import (
+    CLIP, CLIPFDT, FDTConfig, TextConfig, VisionConfig,
+)
+from iterated_learning_for_vlm_tpu.utils.config import Config
+
+V = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                 heads=2, embed_dim=32)
+T = TextConfig(context_length=77, width=64, heads=2, layers=2, embed_dim=32)
+F = FDTConfig(sd_num=64, sd_dim=32, raw_img_ft_dim=64, raw_txt_ft_dim=64,
+              sparsemax_method="bisect")
+
+
+def _tokens(bs, ctx, max_len, seed=0):
+    """Random token rows with true lengths <= max_len (EOT = the max id)."""
+    rng = np.random.default_rng(seed)
+    tokens = np.zeros((bs, ctx), np.int32)
+    pad = np.full((bs, ctx), -np.inf, np.float32)
+    for i in range(bs):
+        n = int(rng.integers(3, max_len + 1))
+        tokens[i, : n - 1] = rng.integers(1, 40000, n - 1)
+        tokens[i, n - 1] = 49408  # EOT: highest id, drives argmax pooling
+        pad[i, :n] = 0.0
+    return jnp.asarray(tokens), jnp.asarray(pad)
+
+
+# ---------------------------------------------------------------- helper --
+
+def test_bucket_context_picks_smallest_fitting():
+    tokens = np.zeros((4, 77), np.int32)
+    pad = np.full((4, 77), -np.inf, np.float32)
+    pad[:, :20] = 0.0  # max true length 20
+    batch = {"tokens": tokens, "pad_mask": pad, "image": np.zeros((4, 2))}
+    out = bucket_context(batch, [32, 77])
+    assert out["tokens"].shape == (4, 32)
+    assert out["pad_mask"].shape == (4, 32)
+    assert out["image"].shape == (4, 2)  # non-token keys untouched
+
+
+def test_bucket_context_falls_back_to_full():
+    tokens = np.zeros((2, 77), np.int32)
+    pad = np.full((2, 77), -np.inf, np.float32)
+    pad[0, :50] = 0.0  # one long caption
+    batch = {"tokens": tokens, "pad_mask": pad}
+    out = bucket_context(batch, [32, 77])
+    assert out["tokens"].shape == (2, 77)
+    # bucket list without the full context: overflow returns the batch as-is
+    out = bucket_context(batch, [32])
+    assert out["tokens"].shape == (2, 77)
+    # no buckets configured: identity
+    assert bucket_context(batch, ()) is batch
+
+
+def test_bucket_context_slices_mlm_labels():
+    tokens = np.zeros((2, 77), np.int32)
+    pad = np.full((2, 77), -np.inf, np.float32)
+    pad[:, :10] = 0.0
+    batch = {"tokens": tokens, "pad_mask": pad,
+             "mlm_labels": np.full((2, 77), -100, np.int32)}
+    out = bucket_context(batch, [16, 77])
+    assert out["mlm_labels"].shape == (2, 16)
+
+
+# ------------------------------------------------------------- exactness --
+
+def test_clip_text_embed_exact_across_buckets():
+    tok77, pad77 = _tokens(6, 77, max_len=20)
+    model = CLIP(vision_cfg=V, text_cfg=T)
+    img = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img, tok77[:2], pad77[:2])["params"]
+
+    full = model.apply({"params": params}, tok77, pad77,
+                       method=type(model).encode_text)
+    cut = model.apply({"params": params}, tok77[:, :32], pad77[:, :32],
+                      method=type(model).encode_text)
+    # Exact in real arithmetic; tolerance covers XLA reduction-order
+    # reassociation between the S=32 and S=77 programs (~1e-6 in fp32).
+    np.testing.assert_allclose(np.asarray(cut), np.asarray(full),
+                               rtol=1e-5, atol=5e-6)
+
+
+def test_fdt_text_codebook_embed_exact_across_buckets():
+    tok77, pad77 = _tokens(5, 77, max_len=24, seed=3)
+    model = CLIPFDT(vision_cfg=V, text_cfg=T, fdt_cfg=F)
+    img = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img, tok77[:2], pad77[:2])["params"]
+
+    att_full, emb_full = model.apply({"params": params}, tok77, pad77,
+                                     method=type(model).extract_txt_sd_ft)
+    att_cut, emb_cut = model.apply({"params": params}, tok77[:, :32], pad77[:, :32],
+                                   method=type(model).extract_txt_sd_ft)
+    np.testing.assert_allclose(np.asarray(emb_cut), np.asarray(emb_full),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(att_cut), np.asarray(att_full),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fdt_text_grads_exact_across_buckets():
+    """Gradients through the bucketed text path match the full-context run
+    (the training-step claim, not just inference)."""
+    tok77, pad77 = _tokens(4, 77, max_len=16, seed=7)
+    model = CLIPFDT(vision_cfg=V, text_cfg=T, fdt_cfg=F)
+    img = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img, tok77[:2], pad77[:2])["params"]
+
+    def loss(p, tok, pad):
+        _, emb = model.apply({"params": p}, tok, pad,
+                             method=type(model).extract_txt_sd_ft)
+        return jnp.sum(emb ** 2)
+
+    g_full = jax.grad(loss)(params, tok77, pad77)
+    g_cut = jax.grad(loss)(params, tok77[:, :32], pad77[:, :32])
+    # Param shapes are identical (only the pos-embedding USAGE is sliced);
+    # pad-tail pos rows get zero grad in both runs (causal + pad-masked).
+    for a, b in zip(jax.tree.leaves(g_cut), jax.tree.leaves(g_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+# -------------------------------------------------------------- pipeline --
+
+def _jpeg_bytes(value, size=32):
+    img = Image.fromarray(np.full((size, size, 3), value, np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+def _shard(tmp_path, captions):
+    samples = [{"__key__": f"{i:06d}", "jpg": _jpeg_bytes(i * 29 % 255),
+                "txt": c.encode()} for i, c in enumerate(captions)]
+    path = str(tmp_path / "00000.tar")
+    write_tar_shard(path, iter(samples))
+    return path
+
+
+def _cfg(path, **kw):
+    base = dict(data_path=[path], batch_size=4, workers=1, num_samples=8,
+                transforms="ONECROP", image_size=32, context_buckets=[32, 77])
+    base.update(kw)
+    return Config(base)
+
+
+def test_pipeline_buckets_short_captions(tmp_path):
+    path = _shard(tmp_path, [f"a cat number {i}" for i in range(8)])
+    info = get_wds_dataset(_cfg(path), world_size=1)
+    batch = next(info.loader_fn(0))
+    assert batch["tokens"].shape == (4, 32)
+    assert batch["pad_mask"].shape == (4, 32)
+
+
+def test_pipeline_long_caption_overflows_to_full(tmp_path):
+    long = " ".join(["wordy"] * 60)
+    path = _shard(tmp_path, [long] * 8)
+    info = get_wds_dataset(_cfg(path), world_size=1)
+    batch = next(info.loader_fn(0))
+    assert batch["tokens"].shape == (4, 77)
+
+
+def test_pipeline_buckets_disabled_multihost(tmp_path):
+    path = _shard(tmp_path, [f"a cat number {i}" for i in range(8)])
+    info = get_wds_dataset(_cfg(path, num_samples=4), world_size=2, rank=0)
+    batch = next(info.loader_fn(0))
+    assert batch["tokens"].shape == (4, 77)

@@ -1,0 +1,24 @@
+#!/usr/bin/env python
+"""Same-process A/B: full-77 vs bucketed-32 text context on the real chip.
+
+TPU timing drifts +-20% between python processes, so the pair must run in
+one process (bench.py pairs convention).  Prints two bench JSON lines.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    print("ctx=77 (reference full context):", flush=True)
+    bench.main(batch_size=256, steps=steps, ctx=77)
+    print("ctx=32 (CC3M bucket):", flush=True)
+    bench.main(batch_size=256, steps=steps, ctx=32)
+
+
+if __name__ == "__main__":
+    main()
