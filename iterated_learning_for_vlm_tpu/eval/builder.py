@@ -378,8 +378,13 @@ def build_ml_retrieval(dir_path: str, name: str, language: str,
 
 
 def build_dataset(name: str, root: str = "", split: str = "test",
-                  language: str = "en") -> EvalDataset:
-    """Dispatch mirroring the reference ``build_dataset`` protocol names."""
+                  language: str = "en", annotation_file: str = "") -> EvalDataset:
+    """Dispatch mirroring the reference ``build_dataset`` protocol names.
+
+    ``annotation_file`` mirrors the reference ``--annotation_file`` flag
+    (cli.py / datasets/builder.py mscoco_captions & flickr): retrieval
+    annotations supplied separately from the dataset name — a karpathy-style
+    JSON or a flickr ``captions.txt``, with images under ``root``."""
     for ml_name in ML_RETRIEVAL_TEMPLATES:
         if name.startswith(ml_name + ":"):
             return build_ml_retrieval(name[len(ml_name) + 1:], ml_name,
@@ -406,6 +411,12 @@ def build_dataset(name: str, root: str = "", split: str = "test",
         return build_voc_dataset(name[len("voc:"):], "voc2007_multilabel", split)
     if name.startswith("flickr_txt:"):
         return build_flickr_txt(name[len("flickr_txt:"):], "flickr", image_root=root)
+    if annotation_file:
+        # bare retrieval names (mscoco_captions / flickr30k / flickr8k ...)
+        # resolved by the external annotation file, reference-style
+        if annotation_file.endswith(".json"):
+            return build_retrieval_json(annotation_file, name, image_root=root)
+        return build_flickr_txt(annotation_file, name, image_root=root)
     raise KeyError(f"unknown dataset spec {name!r}")
 
 

@@ -34,7 +34,9 @@ def _load_encoder(args):
         ckpt = ckpt.split(",")
     return load_eval_encoder(args.model_config, ckpt, batch_size=args.batch_size,
                              sd_temperature=getattr(args, "sd_temperature", None),
-                             model_type=getattr(args, "model_type", "cust_clip"))
+                             model_type=getattr(args, "model_type", "cust_clip"),
+                             amp=getattr(args, "amp", True),
+                             normalize=getattr(args, "normalize", True))
 
 
 def _dump(args, dataset, task, metrics, language="en", extra=None):
@@ -144,7 +146,8 @@ def cmd_eval(args):
     for dataset, language in ((d, lg) for d in _expand_datasets(args.dataset)
                               for lg in languages):
         ds = build_dataset(dataset, root=args.dataset_root, split=args.split,
-                           language=language)
+                           language=language,
+                           annotation_file=getattr(args, "annotation_file", ""))
         # resolve 'auto' BEFORE formatting the skip path — the reference also
         # resolves the task first (cli.py:234-247), else an {task} template
         # checks "..._auto_..." and never matches what _dump wrote
@@ -157,6 +160,9 @@ def cmd_eval(args):
             if os.path.exists(candidate):  # reference cli.py --skip_existing
                 print(f"skip existing {candidate}", file=sys.stderr)
                 continue
+        if getattr(args, "verbose", True):  # reference --quiet sets verbose=False
+            print(f"Running '{task}' on '{dataset}' (language {language}) "
+                  f"with model '{args.model_config}'", file=sys.stderr)
         probe_prefix = None
         if task == "linear_probe" and args.feature_root:
             # reference feature_root layout: features/<dataset>/<model tag>.
@@ -170,6 +176,8 @@ def cmd_eval(args):
             split_tag = f"{args.train_split}-{args.split}"
             if args.val_split:
                 split_tag += f"-{args.val_split}"
+            if not getattr(args, "normalize", True):
+                split_tag += "-nonorm"  # raw features must not share the cache
             probe_prefix = os.path.join(
                 args.feature_root, str(dataset).replace("/", "_"),
                 f"{mc_tag}__{ckpt_tag}__{split_tag}")
@@ -237,6 +245,7 @@ def cmd_eval(args):
                 steps=max(1, args.fewshot_epochs) * 50,
                 lr=args.fewshot_lr,
                 seed=args.seed,
+                normalize=getattr(args, "normalize", True),
             )
         else:
             raise SystemExit(f"unknown task {task}")
@@ -358,6 +367,12 @@ def build_parser():
                         help="override the FDT codebook temperature (score a "
                              "T-decayed checkpoint at its final T, not the "
                              "config's initial value)")
+        sp.add_argument("--no_amp", action="store_false", dest="amp",
+                        help="force fp32 tower compute instead of the "
+                             "config's dtype (reference --no_amp disables "
+                             "torch autocast)")
+        sp.add_argument("--quiet", action="store_false", dest="verbose",
+                        help="suppress progress messages (reference --quiet)")
 
     e = sub.add_parser("eval")
     common(e, config_required=False)
@@ -371,6 +386,14 @@ def build_parser():
                         "read as one dataset name per line (reference "
                         "cli.py:135-145, test.sh webdatasets.txt)")
     e.add_argument("--dataset_root", default="")
+    e.add_argument("--annotation_file", default="",
+                   help="retrieval annotations for bare dataset names "
+                        "(karpathy-style JSON or flickr captions.txt; "
+                        "reference cli.py --annotation_file)")
+    e.add_argument("--no_normalize", action="store_false", dest="normalize",
+                   help="fit the linear probe on raw (un-L2-normalized) "
+                        "features (reference --normalize; other tasks always "
+                        "normalize, like the reference metrics)")
     e.add_argument("--split", default="test")
     e.add_argument("--task", default="auto")
     e.add_argument("--recall_k", type=int, nargs="+", default=[1, 5, 10])

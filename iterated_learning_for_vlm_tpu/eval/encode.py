@@ -46,7 +46,7 @@ class JitEncoder:
         self.transform = build_common_augmentation(
             transform, image_size=self.image_size)
 
-        def img_fn(params, images):
+        def img_fn(params, images, normalize):
             if is_fdt:
                 _, emb = model.apply({"params": params}, images, method="extract_img_sd_ft")
             else:
@@ -55,7 +55,7 @@ class JitEncoder:
                 emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-10)
             return emb
 
-        def txt_fn(params, tokens, pad_mask):
+        def txt_fn(params, tokens, pad_mask, normalize):
             if is_fdt:
                 _, emb = model.apply(
                     {"params": params}, tokens, pad_mask, method="extract_txt_sd_ft"
@@ -66,15 +66,22 @@ class JitEncoder:
                 emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-10)
             return emb
 
-        self._img_fn = jax.jit(img_fn)
-        self._txt_fn = jax.jit(txt_fn)
+        # normalize is a STATIC per-call override: the reference's
+        # ``--normalize`` flag only reaches the linear-probe featurizer
+        # (linear_probe.py:36-44,152) while every other metric L2-normalizes
+        # unconditionally — so the probe can request raw features without
+        # changing the zeroshot/retrieval paths.
+        self._img_fn = jax.jit(img_fn, static_argnums=2)
+        self._txt_fn = jax.jit(txt_fn, static_argnums=3)
 
     # -- images --------------------------------------------------------------
     def preprocess(self, pil_images: Iterable) -> np.ndarray:
         return np.stack([self.transform(im, None) for im in pil_images]).astype(np.float32)
 
-    def encode_images(self, images) -> np.ndarray:
-        """images: [N,H,W,3] float array, or a sequence of PIL images."""
+    def encode_images(self, images, normalize: Optional[bool] = None) -> np.ndarray:
+        """images: [N,H,W,3] float array, or a sequence of PIL images.
+        normalize: per-call override of the constructor default."""
+        nrm = bool(self.normalize if normalize is None else normalize)
         if not isinstance(images, np.ndarray):
             images = self.preprocess(images)
         n = len(images)
@@ -85,12 +92,13 @@ class JitEncoder:
             pad = bs - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            emb = np.asarray(self._img_fn(self.params, jnp.asarray(chunk)))
+            emb = np.asarray(self._img_fn(self.params, jnp.asarray(chunk), nrm))
             out.append(emb[: len(images[i : i + bs])])
         return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
 
     # -- texts ---------------------------------------------------------------
-    def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
+    def encode_texts(self, texts: Sequence[str], normalize: Optional[bool] = None) -> np.ndarray:
+        nrm = bool(self.normalize if normalize is None else normalize)
         n = len(texts)
         out = []
         bs = self.batch_size
@@ -101,7 +109,7 @@ class JitEncoder:
                 chunk = chunk + ["" for _ in range(bs - real)]
             tokens, pad_mask = self.tokenizer(chunk, context_length=self.context_length)
             emb = np.asarray(
-                self._txt_fn(self.params, jnp.asarray(tokens), jnp.asarray(pad_mask))
+                self._txt_fn(self.params, jnp.asarray(tokens), jnp.asarray(pad_mask), nrm)
             )
             out.append(emb[:real])
         return np.concatenate(out) if out else np.zeros((0, 1), np.float32)

@@ -34,10 +34,13 @@ def probe_cache_complete(prefix: Optional[str], include_val: bool = False) -> bo
                for p in probe_cache_paths(prefix, s))
 
 
-def _features(encoder, images, labels, prefix: Optional[str], split: str):
+def _features(encoder, images, labels, prefix: Optional[str], split: str,
+              normalize: bool = True):
     """Frozen features, disk-cached under ``feature_root`` when given
     (reference linear_probe.py Featurizer cache: features + targets saved
-    per model x dataset x split, reused across WD sweeps and re-runs)."""
+    per model x dataset x split, reused across WD sweeps and re-runs).
+    ``normalize`` mirrors the reference ``--normalize`` flag, which only
+    affects the probe featurizer (linear_probe.py:36-44)."""
     labels = np.asarray(labels)
     if prefix:
         fp, lp = probe_cache_paths(prefix, split)
@@ -47,7 +50,7 @@ def _features(encoder, images, labels, prefix: Optional[str], split: str):
         raise ValueError(
             f"--skip_load given but the probe feature cache is incomplete "
             f"(missing {split} split under prefix {prefix!r})")
-    feats = encoder.encode_images(images)
+    feats = encoder.encode_images(images, normalize=normalize)
     if prefix:
         os.makedirs(os.path.dirname(os.path.abspath(fp)), exist_ok=True)
         np.save(fp, feats)
@@ -120,11 +123,12 @@ def evaluate_linear_probe(
     feature_cache_prefix: Optional[str] = None,
     val_images=None,
     val_labels=None,
+    normalize: bool = True,
 ) -> Dict[str, float]:
     train_feats, train_labels = _features(encoder, train_images, train_labels,
-                                          feature_cache_prefix, "train")
+                                          feature_cache_prefix, "train", normalize)
     test_feats, test_labels = _features(encoder, test_images, test_labels,
-                                        feature_cache_prefix, "test")
+                                        feature_cache_prefix, "test", normalize)
     num_classes = num_classes or int(train_labels.max()) + 1
 
     if fewshot_k > 0:
@@ -136,7 +140,7 @@ def evaluate_linear_probe(
     val_feats = val_lbls = None
     if val_images is not None:
         val_feats, val_lbls = _features(encoder, val_images, val_labels,
-                                        feature_cache_prefix, "val")
+                                        feature_cache_prefix, "val", normalize)
         tr_feats, tr_labels = train_feats, train_labels
     elif val_fraction > 0:
         rng = np.random.default_rng(seed)
@@ -162,4 +166,5 @@ def evaluate_linear_probe(
     metrics = accuracy_topk(logits, test_labels)
     metrics["mean_per_class_recall"] = mean_per_class_recall(logits, test_labels)
     metrics["weight_decay"] = float(best_wd)
+    metrics["normalized"] = bool(normalize)  # reference linear_probe.py:307
     return metrics

@@ -49,6 +49,8 @@ def load_eval_encoder(
     transform: str = "ONECROP",
     sd_temperature: Optional[float] = None,
     model_type: str = "cust_clip",
+    amp: bool = True,
+    normalize: bool = True,
 ) -> JitEncoder:
     """checkpoint may be a path, a list of paths (averaged soup), or None
     (random init, for smoke tests).
@@ -58,6 +60,11 @@ def load_eval_encoder(
     checkpoint trained with T-decay would otherwise be scored at the config's
     initial T (1000) instead of the final decayed value."""
     cfg = load_config(config) if isinstance(config, str) else config
+    if not amp:
+        # reference --no_amp disables torch autocast; the TPU analogue is
+        # forcing fp32 compute in the towers instead of the config's dtype
+        # (bf16 in the shipping configs)
+        cfg.model["kwargs"] = {**cfg.model.get("kwargs", {}), "dtype": "float32"}
     if sd_temperature is not None:
         kwargs = cfg.model.get("kwargs", {})
         if "fdt" in kwargs:
@@ -102,4 +109,4 @@ def load_eval_encoder(
 
         params = spectral_normalize_tree(params)
     return JitEncoder(model, params, is_fdt=is_fdt, batch_size=batch_size,
-                      transform=transform)
+                      transform=transform, normalize=normalize)

@@ -196,7 +196,7 @@ def test_dataset_list_file_and_product(tmp_path, monkeypatch):
     dataset per line (reference cli.py:135-145 / test.sh webdatasets.txt)."""
     from iterated_learning_for_vlm_tpu.eval import builder
 
-    def fake_build(name, root="", split="test", language="en"):
+    def fake_build(name, root="", split="test", language="en", **kw):
         ds = _tiny_dummy()
         ds.name = name
         return ds
@@ -253,7 +253,8 @@ def test_linear_probe_val_split(tmp_path, monkeypatch):
     from iterated_learning_for_vlm_tpu.eval import builder
 
     monkeypatch.setattr(builder, "build_dataset",
-                        lambda name, root="", split="test", language="en": _tiny_dummy())
+                        lambda name, root="", split="test", language="en", **kw:
+                        _tiny_dummy())
     cfg = _config_file(tmp_path)
     rec = eval_cli.main([
         "eval", "--model_config", cfg, "--dataset", "dummy",
@@ -301,3 +302,109 @@ def test_expand_datasets_sniffing(tmp_path):
     data.write_text('[{"image": "x.jpg", "caption": "a"}]')
     out = _expand_datasets([str(lst), str(data), "dummy"])
     assert out == ["wds/a", "cifar:/data/c.pkl", str(data), "dummy"]
+
+
+def test_annotation_file_resolves_bare_retrieval_name(tmp_path):
+    """--annotation_file supplies retrieval annotations for a bare dataset
+    name (reference cli.py --annotation_file for mscoco_captions/flickr)."""
+    import numpy as np
+    from PIL import Image
+
+    from iterated_learning_for_vlm_tpu.eval.builder import build_dataset
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_dir / f"{i}.jpg")
+    ann = tmp_path / "karpathy.json"
+    ann.write_text(json.dumps([
+        {"image": "0.jpg", "captions": ["a dog", "a canine"]},
+        {"image": "1.jpg", "captions": ["a cat"]},
+    ]))
+    ds = build_dataset("mscoco_captions", root=str(img_dir),
+                       annotation_file=str(ann))
+    assert ds.task == "zeroshot_retrieval"
+    assert len(ds.images) == 2
+    assert ds.captions_per_image[0] == ["a dog", "a canine"]
+    # without an annotation file the bare name is still unknown
+    import pytest
+
+    with pytest.raises(KeyError):
+        build_dataset("mscoco_captions", root=str(img_dir))
+
+
+def test_encoder_normalize_per_call_override(tmp_path):
+    """JitEncoder normalize is a static per-call override: the probe can get
+    raw features while zeroshot keeps unit-norm ones."""
+    import numpy as np
+
+    from iterated_learning_for_vlm_tpu.eval.model_loader import load_eval_encoder
+
+    enc = load_eval_encoder(_config_file(tmp_path), batch_size=4)
+    imgs = np.random.default_rng(0).standard_normal((3, 32, 32, 3)).astype(np.float32)
+    unit = enc.encode_images(imgs)
+    raw = enc.encode_images(imgs, normalize=False)
+    np.testing.assert_allclose(np.linalg.norm(unit, axis=-1), 1.0, atol=1e-4)
+    assert not np.allclose(np.linalg.norm(raw, axis=-1), 1.0, atol=1e-3)
+    # texts too
+    t_raw = enc.encode_texts(["a dog", "a cat"], normalize=False)
+    assert not np.allclose(np.linalg.norm(t_raw, axis=-1), 1.0, atol=1e-3)
+
+
+def test_no_normalize_probe_cli(tmp_path, monkeypatch):
+    """--no_normalize reaches the linear probe (raw features, distinct cache
+    tag, 'normalized' recorded in metrics — reference --normalize)."""
+    import os
+
+    from iterated_learning_for_vlm_tpu.eval import builder
+
+    monkeypatch.setattr(builder, "build_dummy", lambda n=8: _tiny_dummy())
+    froot = str(tmp_path / "features")
+    rec = eval_cli.main([
+        "eval", "--model_config", _config_file(tmp_path), "--dataset", "dummy",
+        "--task", "linear_probe", "--batch_size", "4", "--fewshot_epochs", "1",
+        "--feature_root", froot, "--no_normalize",
+    ])
+    assert rec["metrics"]["normalized"] is False
+    prefix = os.path.join(froot, "dummy", "model__random_init__train-test-nonorm")
+    assert os.path.exists(f"{prefix}_test_feats.npy")
+    import numpy as np
+
+    feats = np.load(f"{prefix}_test_feats.npy")
+    assert not np.allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-3)
+
+
+def test_no_amp_forces_fp32_and_quiet_silences(tmp_path, monkeypatch, capsys):
+    """--no_amp forces fp32 tower compute (reference autocast toggle);
+    --quiet suppresses the progress line (reference --quiet)."""
+    import jax.numpy as jnp
+
+    from iterated_learning_for_vlm_tpu.eval import builder
+    from iterated_learning_for_vlm_tpu.eval.model_loader import load_eval_encoder
+    from iterated_learning_for_vlm_tpu.models import CLIP as _CLIP
+
+    register_model("clip_tiny_cli_dtype",
+                   lambda **kw: _CLIP(vision_cfg=V, text_cfg=T,
+                                      dtype={"float32": jnp.float32,
+                                             "bfloat16": jnp.bfloat16}[
+                                          str(kw.get("dtype", "bfloat16"))]))
+    cfg = {"model": {"type": "clip_tiny_cli_dtype",
+                     "kwargs": {"dtype": "bfloat16"}}}
+    p = tmp_path / "model_dt.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    enc = load_eval_encoder(str(p), amp=False)
+    assert enc.model.dtype == jnp.float32
+    enc2 = load_eval_encoder(str(p))
+    assert enc2.model.dtype == jnp.bfloat16
+
+    monkeypatch.setattr(builder, "build_dummy", lambda n=8: _tiny_dummy())
+    eval_cli.main([
+        "eval", "--model_config", _config_file(tmp_path), "--dataset", "dummy",
+        "--batch_size", "8",
+    ])
+    assert "Running 'zeroshot_classification'" in capsys.readouterr().err
+    eval_cli.main([
+        "eval", "--model_config", _config_file(tmp_path), "--dataset", "dummy",
+        "--batch_size", "8", "--quiet",
+    ])
+    assert "Running" not in capsys.readouterr().err
