@@ -36,7 +36,8 @@ def _load_encoder(args):
                              sd_temperature=getattr(args, "sd_temperature", None),
                              model_type=getattr(args, "model_type", "cust_clip"),
                              amp=getattr(args, "amp", True),
-                             normalize=getattr(args, "normalize", True))
+                             normalize=getattr(args, "normalize", True),
+                             num_workers=getattr(args, "num_workers", 4))
 
 
 def _dump(args, dataset, task, metrics, language="en", extra=None):
@@ -373,6 +374,10 @@ def build_parser():
                              "torch autocast)")
         sp.add_argument("--quiet", action="store_false", dest="verbose",
                         help="suppress progress messages (reference --quiet)")
+        sp.add_argument("--num_workers", type=int, default=4,
+                        help="threads for image decode+preprocess (reference "
+                             "--num_workers; the augment hot path is "
+                             "GIL-releasing native code)")
 
     e = sub.add_parser("eval")
     common(e, config_required=False)

@@ -32,6 +32,7 @@ class JitEncoder:
         batch_size: int = 64,
         transform: str = "ONECROP",
         normalize: bool = True,
+        num_workers: int = 4,
     ):
         self.model = model
         self.params = params
@@ -39,6 +40,7 @@ class JitEncoder:
         self.tokenizer = tokenizer or get_tokenizer()
         self.batch_size = batch_size
         self.normalize = normalize
+        self.num_workers = max(1, int(num_workers))
         self.context_length = model.text_cfg.context_length
         self.image_size = model.vision_cfg.input_resolution
         # resize/crop scaled to the model's input resolution for EVERY
@@ -76,7 +78,20 @@ class JitEncoder:
 
     # -- images --------------------------------------------------------------
     def preprocess(self, pil_images: Iterable) -> np.ndarray:
-        return np.stack([self.transform(im, None) for im in pil_images]).astype(np.float32)
+        """Decode + transform, threaded when num_workers > 1 (reference
+        --num_workers / torch DataLoader workers; the augment hot path is
+        GIL-releasing native code, data/native/fused_augment.c, so threads
+        parallelize for real)."""
+        pil_images = list(pil_images)
+        if self.num_workers > 1 and len(pil_images) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                arrays = list(pool.map(lambda im: self.transform(im, None),
+                                       pil_images))
+        else:
+            arrays = [self.transform(im, None) for im in pil_images]
+        return np.stack(arrays).astype(np.float32)
 
     def encode_images(self, images, normalize: Optional[bool] = None) -> np.ndarray:
         """images: [N,H,W,3] float array, or a sequence of PIL images.

@@ -51,6 +51,7 @@ def load_eval_encoder(
     model_type: str = "cust_clip",
     amp: bool = True,
     normalize: bool = True,
+    num_workers: int = 4,
 ) -> JitEncoder:
     """checkpoint may be a path, a list of paths (averaged soup), or None
     (random init, for smoke tests).
@@ -109,4 +110,5 @@ def load_eval_encoder(
 
         params = spectral_normalize_tree(params)
     return JitEncoder(model, params, is_fdt=is_fdt, batch_size=batch_size,
-                      transform=transform, normalize=normalize)
+                      transform=transform, normalize=normalize,
+                      num_workers=num_workers)

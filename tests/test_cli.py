@@ -408,3 +408,20 @@ def test_no_amp_forces_fp32_and_quiet_silences(tmp_path, monkeypatch, capsys):
         "--batch_size", "8", "--quiet",
     ])
     assert "Running" not in capsys.readouterr().err
+
+
+def test_num_workers_threaded_preprocess(tmp_path):
+    """--num_workers threads eval preprocessing; outputs identical to the
+    serial path (order-preserving map, deterministic eval transforms)."""
+    import numpy as np
+    from PIL import Image
+
+    from iterated_learning_for_vlm_tpu.eval.model_loader import load_eval_encoder
+
+    rng = np.random.default_rng(2)
+    imgs = [Image.fromarray(rng.integers(0, 255, (40, 40, 3)).astype("uint8"))
+            for _ in range(6)]
+    cfg = _config_file(tmp_path)
+    serial = load_eval_encoder(cfg, num_workers=1).preprocess(imgs)
+    threaded = load_eval_encoder(cfg, num_workers=4).preprocess(imgs)
+    np.testing.assert_array_equal(serial, threaded)

@@ -99,5 +99,8 @@ if __name__ == "__main__":
             (16, 4096), (4, 512)]
     if which == "vision":
         sweep("vision", 256, 50, False, cfgs)
+    elif which == "text32":
+        # the ctx-32 shipping bucket (data.train.context_buckets)
+        sweep("text32", 256, 32, True, cfgs)
     else:
         sweep("text", 256, 77, True, cfgs)
