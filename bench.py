@@ -89,9 +89,16 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
 
 
 def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
-         unroll=True, fused_attn=True, fused_attn_group=2, fused_attn_text=False,
+         unroll=True, fused_attn=True, fused_attn_group=2, fused_attn_text=None,
          fused_attn_text_group=2, fused_attn_sample_group=2,
-         fused_attn_text_sample_group=2, bf16_moments=False, ctx=32):
+         fused_attn_text_sample_group=None, bf16_moments=False, ctx=32):
+    if fused_attn_text is None:
+        # shape-aware default: the fused text kernel WINS at the ctx-32
+        # shipping bucket (2812 -> 2858 pairs/s, g=2 sg=4, same-process
+        # sweep tools/text_attn_ctx32_ab.py) and ties/loses at full 77
+        fused_attn_text = bool(fused_attn) and ctx <= 64
+    if fused_attn_text_sample_group is None:
+        fused_attn_text_sample_group = 4 if ctx <= 64 else 2
     n_chips = jax.device_count()
     model = model_entry(model_cfg(remat, fused, flash, unroll, fused_attn,
                                   fused_attn_group, fused_attn_text,
@@ -175,9 +182,14 @@ if __name__ == "__main__":
                         "default uses it (1984 vs 1915 pairs/s same-session; "
                         "microbench -23%% vs XLA attention at S=50). The "
                         "text tower at S=77 ties XLA and stays on it.")
-    p.add_argument("--fused-attn-text", action="store_true",
-                   help="also use the fused attention kernel for the text "
-                        "tower (ablation; ties XLA at best)")
+    p.add_argument("--fused-attn-text", action="store_const", const=True,
+                   default=None, dest="fused_attn_text",
+                   help="force the fused attention kernel on the text tower "
+                        "(default: auto — ON at ctx<=64 where it wins, OFF "
+                        "at the full 77 context where it ties/loses)")
+    p.add_argument("--no-fused-attn-text", action="store_const", const=False,
+                   dest="fused_attn_text",
+                   help="force XLA attention on the text tower")
     p.add_argument("--attn-group", type=int, default=2,
                    help="heads per block-diagonal matmul in the fused "
                         "attention kernel (vision tower, 12 heads); the "
@@ -203,17 +215,18 @@ if __name__ == "__main__":
                         "--ctx 77 is the reference's always-full context for "
                         "the like-for-like kernel comparison "
                         "(tools/ctx_bucket_ab.py: 2058 @77 vs 2810 @32).")
-    p.add_argument("--attn-sample-group-text", type=int, default=2,
+    p.add_argument("--attn-sample-group-text", type=int, default=None,
                    help="samples fused per block-diagonal matmul for the "
-                        "TEXT tower ablation (g=2 x sg=4 measured 1959 vs "
-                        "1976 XLA same-process; text ships on XLA)")
+                        "TEXT tower (default: auto — 4 at ctx<=64, the swept "
+                        "optimum; at S=77 g=2 x sg=4 measured 1959 vs 1976 "
+                        "XLA same-process, so full-context text ships on XLA)")
     a = p.parse_args()
     try:
         main(batch_size=a.batch_size, steps=a.steps, remat=a.remat,
              fused=not a.no_fused, flash=a.flash, unroll=not a.no_unroll,
              fused_attn=not a.no_fused_attn and not a.flash,
              fused_attn_group=a.attn_group,
-             fused_attn_text=a.fused_attn_text and not a.flash,
+             fused_attn_text=(False if a.flash else a.fused_attn_text),
              fused_attn_text_group=a.attn_group_text,
              fused_attn_sample_group=a.attn_sample_group,
              fused_attn_text_sample_group=a.attn_sample_group_text,
