@@ -252,7 +252,18 @@ def _auto_tiles(t: int):
     auto-picked; opt in via ``bwd_tiles`` where the program is known to fit.
     Larger tiles VMEM-OOM outright.  T > 128 (B/16's 197 patch tokens) stays
     at the conservative round-1 point: the bwd routing matrix [bb, T, nn]
-    scales with bb*T*nn."""
+    scales with bb*T*nn.
+
+    T=32 (the ctx-32 shipping text bucket) swept separately
+    (``tools/codebook_tile_sweep.py text32``): fwd (16, 512) 1.024 ms /
+    bwd (16, 1024) 1.316 ms vs the t<=64 vision point's 1.096/1.380.
+    (8/16, 4096) measured marginally faster still but puts the whole 8 MB
+    codebook tile in VMEM — the same context-dependent-OOM class as the
+    T=77 bwd edge point, so not auto-picked.  XLA's fwd einsum at T=32
+    (0.986 ms) ties the kernel fwd within noise; the kernel bwd's sparse
+    routing still wins (1.316 vs 1.645), so the fused pair stays on."""
+    if t <= 40:
+        return (16, 512), (16, 1024)
     if t <= 64:
         return (8, 512), (32, 512)
     if t <= 128:
