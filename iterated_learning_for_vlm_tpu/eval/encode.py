@@ -33,6 +33,7 @@ class JitEncoder:
         transform: str = "ONECROP",
         normalize: bool = True,
         num_workers: int = 4,
+        text_buckets: Optional[Sequence[int]] = (16, 32),
     ):
         self.model = model
         self.params = params
@@ -42,6 +43,15 @@ class JitEncoder:
         self.normalize = normalize
         self.num_workers = max(1, int(num_workers))
         self.context_length = model.text_cfg.context_length
+        # static text-context buckets for encode_texts (mirrors the train
+        # pipeline's context bucketing, data/pipeline.py:bucket_context):
+        # eval prompts/captions are mostly far shorter than the 77 context,
+        # and the EOT feature is exact at any context that holds the caption
+        # (tests/test_context_bucketing.py).  The full context is always a
+        # member; () disables.  One jit compile per distinct bucket used.
+        self.text_buckets = tuple(sorted(
+            {int(b) for b in (text_buckets or ()) if int(b) < self.context_length}
+            | {self.context_length}))
         self.image_size = model.vision_cfg.input_resolution
         # resize/crop scaled to the model's input resolution for EVERY
         # recipe (reference: Resize(256) -> CenterCrop(224) for 224-px)
@@ -111,6 +121,17 @@ class JitEncoder:
             out.append(emb[: len(images[i : i + bs])])
         return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
 
+    def _bucket_tokens(self, tokens: np.ndarray, pad_mask: np.ndarray):
+        """Slice a tokenized chunk to the smallest static bucket that holds
+        every caption (exact: causal masking + EOT/pad-masked pooling)."""
+        if len(self.text_buckets) <= 1:
+            return tokens, pad_mask
+        max_len = int((np.asarray(pad_mask) == 0.0).sum(axis=1).max())
+        for b in self.text_buckets:
+            if max_len <= b:
+                return tokens[:, :b], pad_mask[:, :b]
+        return tokens, pad_mask
+
     # -- texts ---------------------------------------------------------------
     def encode_texts(self, texts: Sequence[str], normalize: Optional[bool] = None) -> np.ndarray:
         nrm = bool(self.normalize if normalize is None else normalize)
@@ -123,6 +144,7 @@ class JitEncoder:
             if real < bs:
                 chunk = chunk + ["" for _ in range(bs - real)]
             tokens, pad_mask = self.tokenizer(chunk, context_length=self.context_length)
+            tokens, pad_mask = self._bucket_tokens(tokens, pad_mask)
             emb = np.asarray(
                 self._txt_fn(self.params, jnp.asarray(tokens), jnp.asarray(pad_mask), nrm)
             )

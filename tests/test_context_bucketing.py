@@ -181,3 +181,31 @@ def test_pipeline_buckets_disabled_multihost(tmp_path):
     info = get_wds_dataset(_cfg(path, num_samples=4), world_size=2, rank=0)
     batch = next(info.loader_fn(0))
     assert batch["tokens"].shape == (4, 77)
+
+
+# ------------------------------------------------------------ eval encoder --
+
+def test_jit_encoder_text_buckets_exact():
+    """JitEncoder.encode_texts buckets short prompts to a smaller static
+    context (eval/serving mirror of the train-pipeline bucketing); embeddings
+    match the full-context encoder."""
+    from iterated_learning_for_vlm_tpu.eval.encode import JitEncoder
+
+    model = CLIP(vision_cfg=V, text_cfg=T)  # ctx 77
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    tok = jnp.zeros((1, 77), jnp.int32)
+    pad = jnp.zeros((1, 77), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img, tok, pad)["params"]
+
+    texts = ["a cat", "a photo of a dog", "short"]
+    bucketed = JitEncoder(model, params, is_fdt=False, batch_size=4)
+    full = JitEncoder(model, params, is_fdt=False, batch_size=4,
+                      text_buckets=())
+    assert bucketed.text_buckets == (16, 32, 77)
+    assert full.text_buckets == (77,)
+    np.testing.assert_allclose(bucketed.encode_texts(texts),
+                               full.encode_texts(texts), rtol=1e-5, atol=5e-6)
+    # a long caption overflows every small bucket and still works
+    long = " ".join(["word"] * 70)
+    np.testing.assert_allclose(bucketed.encode_texts([long]),
+                               full.encode_texts([long]), rtol=1e-5, atol=5e-6)

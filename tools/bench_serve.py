@@ -75,8 +75,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch-sizes", default="32,128,256,512")
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--text-ctxs", default="16,32",
+                   help="extra bucketed text-context rows (JitEncoder "
+                        "text_buckets); empty string disables")
     args = p.parse_args()
     sizes = [int(s) for s in args.batch_sizes.split(",")]
+    args.text_ctxs = [int(c) for c in args.text_ctxs.split(",") if c]
 
     rng = np.random.default_rng(0)
     results = []
@@ -118,6 +122,20 @@ def main():
                             "embeds_per_sec": round(bs / s, 1),
                             "batch_ms": round(s * 1e3, 2)})
             print(json.dumps(results[-1]), flush=True)
+
+            # bucketed text contexts (JitEncoder text_buckets: real serving
+            # prompts are mostly <16 BPE tokens; exact, see
+            # tests/test_context_bucketing.py)
+            for ctx in args.text_ctxs:
+                tok_c = tok[:, :ctx]
+                pad_c = pad[:, :ctx]
+                s = time_fn(lambda pr, t, m: txt_fn(pr, t, m),
+                            (params, tok_c, pad_c), steps=args.steps)
+                results.append({"model": name, "path": f"text_ctx{ctx}",
+                                "batch": bs,
+                                "embeds_per_sec": round(bs / s, 1),
+                                "batch_ms": round(s * 1e3, 2)})
+                print(json.dumps(results[-1]), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
                        "results", "serve_bench.json")

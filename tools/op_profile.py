@@ -20,7 +20,14 @@ cost sits in the TEXT tower's XLA attention (reshape/sub/split/transpose
 ~7 ms/step fwd+bwd) — but the fused kernel ties XLA there at every swept
 tiling (tools/attn_microbench.py), so it stays.
 
-Usage: python tools/op_profile.py [batch_size] [top_k]
+Round 2.5 snapshot at the ctx-32 shipping bucket (bs256, ~88.6 ms step,
+results/op_profile_ctx32_r25.txt): vision tower now ~60% of device time
+(bwd attention kernel 9.1 ms, MLP bwd 8.3+8.1, in_proj bwd 7.9 — all at
+their audited rooflines), masked-AdamW select_n 5.9 ms (bandwidth-bound,
+rewrite refuted; bf16 moments is the opt-in lever), text tower shrunk to
+~13% (bwd kernel 3.5 ms).  No non-roofline op above 1%.
+
+Usage: python tools/op_profile.py [batch_size] [top_k] [ctx]
 """
 import json
 import os
@@ -51,16 +58,19 @@ from iterated_learning_for_vlm_tpu.utils.profiling import trace  # noqa: E402
 from bench import model_cfg  # noqa: E402
 
 
-def main(batch_size=256, top_k=25):
+def main(batch_size=256, top_k=25, ctx=32):
+    # mirror the bench default: ctx-32 shipping bucket with the fused text
+    # attention kernel (wins at S<=64, ties/loses at full 77)
     model = model_entry(model_cfg(remat=False, fused=True, flash=False,
                                   unroll=True, fused_attn=True,
-                                  fused_attn_text=False))
+                                  fused_attn_text=ctx <= 64,
+                                  fused_attn_text_sample_group=4 if ctx <= 64 else 2))
     rng = np.random.default_rng(0)
     batch = {
         "image": jnp.asarray(rng.standard_normal((batch_size, 224, 224, 3),
                                                  dtype=np.float32)),
-        "tokens": jnp.asarray(rng.integers(1, 49407, (batch_size, 77)), jnp.int32),
-        "pad_mask": jnp.zeros((batch_size, 77), jnp.float32),
+        "tokens": jnp.asarray(rng.integers(1, 49407, (batch_size, ctx)), jnp.int32),
+        "pad_mask": jnp.zeros((batch_size, ctx), jnp.float32),
     }
     params = model.init(jax.random.PRNGKey(0), batch["image"][:2],
                         batch["tokens"][:2], batch["pad_mask"][:2])["params"]
@@ -124,4 +134,5 @@ def main(batch_size=256, top_k=25):
 if __name__ == "__main__":
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    main(bs, k)
+    c = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    main(bs, k, c)
