@@ -136,18 +136,30 @@ def bucket_context(batch: Dict[str, np.ndarray], buckets) -> Dict[str, np.ndarra
     """
     if not buckets:
         return batch
-    ctx = batch["tokens"].shape[1]
-    max_len = int((batch["pad_mask"] == 0.0).sum(axis=1).max())
+    b = pick_context_bucket(batch["pad_mask"], buckets)
+    if b is None:
+        return batch
+    out = dict(batch)
+    for key in ("tokens", "pad_mask", "mlm_labels"):
+        if key in out:
+            out[key] = np.ascontiguousarray(out[key][:, :b])
+    return out
+
+
+def pick_context_bucket(pad_mask, buckets) -> "int | None":
+    """The smallest bucket (< the current context) that holds every caption,
+    or ``None`` when no slice applies (overflow, or only the full context
+    fits).  The single source of the bucket-selection invariant — shared by
+    the train pipeline (:func:`bucket_context`) and the eval/serving encoder
+    (``eval/encode.py:JitEncoder._bucket_tokens``); the pad-mask convention
+    is 0.0 = real token (incl. EOT), -inf = pad."""
+    pad_mask = np.asarray(pad_mask)
+    ctx = pad_mask.shape[1]
+    max_len = int((pad_mask == 0.0).sum(axis=1).max())
     for b in sorted(int(x) for x in buckets):
         if max_len <= b <= ctx:
-            if b == ctx:
-                return batch
-            out = dict(batch)
-            for key in ("tokens", "pad_mask", "mlm_labels"):
-                if key in out:
-                    out[key] = np.ascontiguousarray(out[key][:, :b])
-            return out
-    return batch
+            return None if b == ctx else b
+    return None
 
 
 def get_wds_dataset(

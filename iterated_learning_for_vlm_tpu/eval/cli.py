@@ -32,11 +32,13 @@ def _load_encoder(args):
     ckpt = args.pretrained
     if ckpt and "," in ckpt:
         ckpt = ckpt.split(",")
+    # NOTE: --no_normalize is NOT passed here — like the reference, the flag
+    # only reaches the linear-probe featurizer (as an explicit per-call
+    # normalize= override); every other metric keeps unit-norm features.
     return load_eval_encoder(args.model_config, ckpt, batch_size=args.batch_size,
                              sd_temperature=getattr(args, "sd_temperature", None),
                              model_type=getattr(args, "model_type", "cust_clip"),
                              amp=getattr(args, "amp", True),
-                             normalize=getattr(args, "normalize", True),
                              num_workers=getattr(args, "num_workers", 4))
 
 

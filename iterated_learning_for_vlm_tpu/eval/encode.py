@@ -123,14 +123,16 @@ class JitEncoder:
 
     def _bucket_tokens(self, tokens: np.ndarray, pad_mask: np.ndarray):
         """Slice a tokenized chunk to the smallest static bucket that holds
-        every caption (exact: causal masking + EOT/pad-masked pooling)."""
+        every caption (exact: causal masking + EOT/pad-masked pooling).
+        Selection logic is shared with the train pipeline."""
+        from ..data.pipeline import pick_context_bucket
+
         if len(self.text_buckets) <= 1:
             return tokens, pad_mask
-        max_len = int((np.asarray(pad_mask) == 0.0).sum(axis=1).max())
-        for b in self.text_buckets:
-            if max_len <= b:
-                return tokens[:, :b], pad_mask[:, :b]
-        return tokens, pad_mask
+        b = pick_context_bucket(pad_mask, self.text_buckets)
+        if b is None:
+            return tokens, pad_mask
+        return tokens[:, :b], pad_mask[:, :b]
 
     # -- texts ---------------------------------------------------------------
     def encode_texts(self, texts: Sequence[str], normalize: Optional[bool] = None) -> np.ndarray:

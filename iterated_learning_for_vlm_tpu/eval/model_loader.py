@@ -60,7 +60,11 @@ def load_eval_encoder(
     the reference, eval rebuilds the model from the config YAML, so a
     checkpoint trained with T-decay would otherwise be scored at the config's
     initial T (1000) instead of the final decayed value."""
-    cfg = load_config(config) if isinstance(config, str) else config
+    import copy as _copy
+
+    # deep-copy Config inputs: the amp/sd_temperature overrides below mutate
+    # model kwargs, and a caller-held Config must not silently change
+    cfg = load_config(config) if isinstance(config, str) else _copy.deepcopy(config)
     if not amp:
         # reference --no_amp disables torch autocast; the TPU analogue is
         # forcing fp32 compute in the towers instead of the config's dtype

@@ -425,3 +425,17 @@ def test_num_workers_threaded_preprocess(tmp_path):
     serial = load_eval_encoder(cfg, num_workers=1).preprocess(imgs)
     threaded = load_eval_encoder(cfg, num_workers=4).preprocess(imgs)
     np.testing.assert_array_equal(serial, threaded)
+
+
+def test_no_normalize_does_not_leak_to_zeroshot(tmp_path, monkeypatch):
+    """--no_normalize only reaches the linear probe; zeroshot metrics are
+    identical with and without it (cosine, not dot — reference semantics)."""
+    from iterated_learning_for_vlm_tpu.eval import builder
+
+    monkeypatch.setattr(builder, "build_dummy", lambda n=8: _tiny_dummy())
+    cfg = _config_file(tmp_path)
+    base = eval_cli.main(["eval", "--model_config", cfg, "--dataset", "dummy",
+                          "--batch_size", "8"])
+    flagged = eval_cli.main(["eval", "--model_config", cfg, "--dataset", "dummy",
+                             "--batch_size", "8", "--no_normalize"])
+    assert base["metrics"] == flagged["metrics"]

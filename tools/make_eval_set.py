@@ -59,8 +59,9 @@ def main():
                 arr = np.clip((img * 0.25 + 0.5) * 255.0, 0, 255).astype(np.uint8)
                 yield Image.fromarray(arr), cls
 
-    # classnames = the caption tail ("a photo of {}" template restores the
-    # training caption shape minus the per-class "number k" suffix)
+    # classnames = the caption tail INCLUDING the per-class "number k"
+    # suffix, so the "a photo of {}" template reproduces the training
+    # caption exactly — do not trim the suffix or zeroshot scores shift
     classnames = [
         " ".join(gen._class_caption(k).split()[3:]) for k in range(args.num_classes)
     ]
