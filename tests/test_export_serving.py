@@ -72,3 +72,51 @@ def test_export_symbolic_batch_serves_any_size(tmp_path):
         assert out.shape == (bs, 32)
         # embeddings are L2-normalized on the serving path
         np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-3)
+
+
+def test_serving_weight_cast_bitwise_exact():
+    """weight_dtype='bfloat16' pre-casts matmul weights once (halved weight
+    HBM reads for serving); outputs are BITWISE equal for bf16-compute
+    models — the cast params are exactly those the towers already consume
+    via .astype/promote_dtype."""
+    import numpy as np
+
+    from iterated_learning_for_vlm_tpu.eval.encode import (
+        JitEncoder, serving_cast_params,
+    )
+    from iterated_learning_for_vlm_tpu.models import (
+        CLIP, CLIPFDT, FDTConfig, TextConfig, VisionConfig,
+    )
+
+    V = VisionConfig(input_resolution=32, patch_size=16, width=64, layers=2,
+                     heads=2, embed_dim=32)
+    T = TextConfig(context_length=77, width=64, heads=2, layers=2, embed_dim=32)
+    F = FDTConfig(sd_num=64, sd_dim=32, raw_img_ft_dim=64, raw_txt_ft_dim=64,
+                  sparsemax_method="bisect")
+
+    for model, is_fdt in (
+        (CLIP(vision_cfg=V, text_cfg=T, dtype=jnp.bfloat16), False),
+        (CLIPFDT(vision_cfg=V, text_cfg=T, fdt_cfg=F, dtype=jnp.bfloat16), True),
+    ):
+        img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        tok = jnp.zeros((1, 77), jnp.int32)
+        pad = jnp.zeros((1, 77), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), img, tok, pad)["params"]
+        base = JitEncoder(model, params, is_fdt=is_fdt, batch_size=4)
+        cast = JitEncoder(model, params, is_fdt=is_fdt, batch_size=4,
+                          weight_dtype="bfloat16")
+        rng = np.random.default_rng(0)
+        imgs = rng.standard_normal((3, 32, 32, 3)).astype(np.float32)
+        texts = ["a dog", "a photo of a cat", "words " * 20]
+        np.testing.assert_array_equal(base.encode_images(imgs),
+                                      cast.encode_images(imgs))
+        np.testing.assert_array_equal(base.encode_texts(texts),
+                                      cast.encode_texts(texts))
+
+    # fp32-consumed params stayed fp32
+    cp = serving_cast_params(params)
+    flat = {"/".join(str(getattr(k, "key", k)) for k in p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(cp)[0]}
+    assert all(v.dtype == jnp.float32 for k, v in flat.items()
+               if "ln_" in k.lower() or "space_dict" in k.lower())
+    assert any(v.dtype == jnp.bfloat16 for v in flat.values())

@@ -78,6 +78,12 @@ def main():
     p.add_argument("--text-ctxs", default="16,32",
                    help="extra bucketed text-context rows (JitEncoder "
                         "text_buckets); empty string disables")
+    p.add_argument("--out", default="serve_bench.json",
+                   help="results filename under results/")
+    p.add_argument("--cast-weights", action="store_true",
+                   help="add image/text rows with matmul weights pre-cast to "
+                        "bf16 (JitEncoder weight_dtype; bitwise-exact "
+                        "outputs, halved weight HBM reads)")
     args = p.parse_args()
     sizes = [int(s) for s in args.batch_sizes.split(",")]
     args.text_ctxs = [int(c) for c in args.text_ctxs.split(",") if c]
@@ -91,6 +97,13 @@ def main():
         tok2 = jnp.asarray(rng.integers(1, 49407, (2, 77)), jnp.int32)
         pad2 = jnp.zeros((2, 77), jnp.float32)
         params = model.init(jax.random.PRNGKey(0), img2, tok2, pad2)["params"]
+        cast_params = None
+        if args.cast_weights:
+            from iterated_learning_for_vlm_tpu.eval.encode import (
+                serving_cast_params,
+            )
+
+            cast_params = serving_cast_params(params)
 
         if name == "fdt":
             img_fn = jax.jit(lambda p, x: model.apply(
@@ -116,6 +129,20 @@ def main():
                             "batch_ms": round(s * 1e3, 2)})
             print(json.dumps(results[-1]), flush=True)
 
+            if cast_params is not None:
+                s = time_fn(lambda pr, x: img_fn(pr, x), (cast_params, img),
+                            steps=args.steps)
+                results.append({"model": name, "path": "image_bf16w",
+                                "batch": bs, "embeds_per_sec": round(bs / s, 1),
+                                "batch_ms": round(s * 1e3, 2)})
+                print(json.dumps(results[-1]), flush=True)
+                s = time_fn(lambda pr, t, m: txt_fn(pr, t, m),
+                            (cast_params, tok, pad), steps=args.steps)
+                results.append({"model": name, "path": "text_bf16w",
+                                "batch": bs, "embeds_per_sec": round(bs / s, 1),
+                                "batch_ms": round(s * 1e3, 2)})
+                print(json.dumps(results[-1]), flush=True)
+
             s = time_fn(lambda pr, t, m: txt_fn(pr, t, m), (params, tok, pad),
                         steps=args.steps)
             results.append({"model": name, "path": "text", "batch": bs,
@@ -138,7 +165,7 @@ def main():
                 print(json.dumps(results[-1]), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir,
-                       "results", "serve_bench.json")
+                       "results", args.out)
     with open(os.path.abspath(out), "w") as f:
         json.dump(results, f, indent=1)
 
