@@ -146,6 +146,50 @@ def bucket_context(batch: Dict[str, np.ndarray], buckets) -> Dict[str, np.ndarra
     return out
 
 
+def bucket_context_synced(batch: Dict[str, np.ndarray], buckets) -> Dict[str, np.ndarray]:
+    """Multi-host :func:`bucket_context`: all hosts agree on one bucket per
+    step via a tiny per-batch ``process_allgather`` of the local max caption
+    length (the global program shape must match on every host; a shape
+    disagreement would deadlock the collectives).  One host collective
+    (~scalar int) per step — negligible next to a ~90 ms train step.
+    Every host iterates its loader in lockstep (the sizing math gives every
+    host the same batch count), so the allgather calls pair up.  Opt-in via
+    ``data.train.context_buckets_sync: true``."""
+    if not buckets:
+        return batch
+    import jax
+
+    local_max = _max_true_len(batch["pad_mask"])
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        global_max = int(np.max(np.asarray(
+            multihost_utils.process_allgather(np.int32(local_max)))))
+    else:
+        global_max = local_max
+    b = _bucket_for_len(global_max, np.asarray(batch["pad_mask"]).shape[1], buckets)
+    if b is None:
+        return batch
+    out = dict(batch)
+    for key in ("tokens", "pad_mask", "mlm_labels"):
+        if key in out:
+            out[key] = np.ascontiguousarray(out[key][:, :b])
+    return out
+
+
+def _max_true_len(pad_mask) -> int:
+    """Longest caption in the batch (pad-mask convention: 0.0 = real token
+    incl. EOT, -inf = pad)."""
+    return int((np.asarray(pad_mask) == 0.0).sum(axis=1).max())
+
+
+def _bucket_for_len(max_len: int, ctx: int, buckets) -> "int | None":
+    for b in sorted(int(x) for x in buckets):
+        if max_len <= b <= ctx:
+            return None if b == ctx else b
+    return None
+
+
 def pick_context_bucket(pad_mask, buckets) -> "int | None":
     """The smallest bucket (< the current context) that holds every caption,
     or ``None`` when no slice applies (overflow, or only the full context
@@ -154,12 +198,7 @@ def pick_context_bucket(pad_mask, buckets) -> "int | None":
     (``eval/encode.py:JitEncoder._bucket_tokens``); the pad-mask convention
     is 0.0 = real token (incl. EOT), -inf = pad."""
     pad_mask = np.asarray(pad_mask)
-    ctx = pad_mask.shape[1]
-    max_len = int((pad_mask == 0.0).sum(axis=1).max())
-    for b in sorted(int(x) for x in buckets):
-        if max_len <= b <= ctx:
-            return None if b == ctx else b
-    return None
+    return _bucket_for_len(_max_true_len(pad_mask), pad_mask.shape[1], buckets)
 
 
 def get_wds_dataset(
@@ -205,14 +244,19 @@ def get_wds_dataset(
                              transforms_name in ("MOCOV2", "SIMCLR", "SIMSIAM")))
     tokenizer = tokenizer or get_tokenizer()
     context_length = int(cfg.get("context_length", 77))
-    # Context-length bucketing (see bucket_context).  Disabled under
-    # multi-host data sharding: the bucket is a per-batch *global* program
-    # shape, and per-host loaders cannot agree on it without a host sync.
+    # Context-length bucketing (see bucket_context).  Under multi-host data
+    # sharding the bucket is a per-batch *global* program shape:
+    # context_buckets_sync: true makes all hosts agree via a tiny per-batch
+    # process_allgather (bucket_context_synced); without it, buckets are
+    # disabled and every batch runs at the full context.
     context_buckets = cfg.get("context_buckets") or ()
-    if context_buckets and world_size > 1:
+    buckets_synced = bool(cfg.get("context_buckets_sync", False))
+    if context_buckets and world_size > 1 and not buckets_synced:
         logger.warning(
             "data.train.context_buckets disabled: %d-way host sharding needs "
-            "a per-step cross-host shape agreement (fixed context only).",
+            "a per-step cross-host shape agreement (set "
+            "data.train.context_buckets_sync: true to enable it via a "
+            "per-batch host collective).",
             world_size,
         )
         context_buckets = ()
@@ -307,7 +351,10 @@ def get_wds_dataset(
                     batch["mlm_labels"] = labels.astype(np.int32)
                 if two_views:
                     batch["image_v2"] = np.stack(images_v2).astype(np.float32)
-                yield bucket_context(batch, context_buckets)
+                if buckets_synced and world_size > 1:
+                    yield bucket_context_synced(batch, context_buckets)
+                else:
+                    yield bucket_context(batch, context_buckets)
                 images, images_v2, texts = [], [], []
                 produced += 1
                 if produced >= num_batches:

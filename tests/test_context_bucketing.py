@@ -9,6 +9,7 @@ no output; (b) the pipeline picks the right bucket and stays off under
 multi-host sharding.
 """
 import io
+import os
 
 import jax
 import jax.numpy as jnp
@@ -209,3 +210,108 @@ def test_jit_encoder_text_buckets_exact():
     long = " ".join(["word"] * 70)
     np.testing.assert_allclose(bucketed.encode_texts([long]),
                                full.encode_texts([long]), rtol=1e-5, atol=5e-6)
+
+
+# ------------------------------------------------------- multi-host sync --
+
+def test_pipeline_buckets_synced_multihost(tmp_path):
+    """context_buckets_sync: true keeps bucketing ON under host sharding —
+    hosts agree on the bucket via a per-batch allgather of the max caption
+    length (single-process here: the agreement reduces to the local max)."""
+    path = _shard(tmp_path, [f"a cat number {i}" for i in range(8)])
+    info = get_wds_dataset(_cfg(path, num_samples=4, context_buckets_sync=True),
+                           world_size=2, rank=0)
+    batch = next(info.loader_fn(0))
+    assert batch["tokens"].shape == (4, 32)  # bucketed, not disabled
+
+
+def test_bucket_context_synced_matches_local_single_process():
+    from iterated_learning_for_vlm_tpu.data.pipeline import bucket_context_synced
+
+    tokens = np.zeros((4, 77), np.int32)
+    pad = np.full((4, 77), -np.inf, np.float32)
+    pad[:, :20] = 0.0
+    batch = {"tokens": tokens, "pad_mask": pad}
+    out = bucket_context_synced(dict(batch), [32, 77])
+    ref = bucket_context(dict(batch), [32, 77])
+    assert out["tokens"].shape == ref["tokens"].shape == (4, 32)
+    # overflow falls back to full context
+    pad[0, :50] = 0.0
+    out = bucket_context_synced({"tokens": tokens, "pad_mask": pad}, [32, 77])
+    assert out["tokens"].shape == (4, 77)
+
+
+@pytest.mark.slow
+def test_synced_buckets_two_process_cluster(tmp_path):
+    """TRUE multi-host synced bucketing: two OS processes, host-sharded wds
+    loaders with DIFFERENT caption-length mixes, context_buckets_sync on.
+    A per-step shape disagreement would deadlock the cross-process
+    collectives; completion + identical per-step global losses in both logs
+    is the proof the hosts agreed on every bucket."""
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    import yaml
+
+    # rank-dependent length mix: split_by_node hands each rank a disjoint
+    # shard subset; shards alternate short-only / containing-long captions
+    long = " ".join(["wordy"] * 20)  # > 8 BPE tokens -> needs the 16 bucket
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for s in range(4):
+        caps = [long if (s >= 2 and i % 2 == 0) else f"a cat {i}"
+                for i in range(8)]
+        samples = [{"__key__": f"{s:02d}{i:04d}", "jpg": _jpeg_bytes((s * 8 + i) * 7 % 255),
+                    "txt": c.encode()} for i, c in enumerate(caps)]
+        write_tar_shard(str(shard_dir / f"{s:05d}.tar"), iter(samples))
+
+    cfg = {
+        "model": {"type": "clip_vitb32", "kwargs": {
+            "image_encode": {"embed_dim": 32, "width": 64, "layers": 2,
+                             "heads": 2, "input_resolution": 32, "patch_size": 16},
+            "text_encode": {"embed_dim": 32, "width": 64, "heads": 2,
+                            "layers": 2, "context_length": 16},
+        }},
+        "grad_clip": {"type": "logit_scale_param_value", "value": 3, "max_value": 6},
+        "optimizer": {"type": "AdamW", "kwargs": {
+            "lr": 0.0005, "weight_decay": 0.1, "betas": [0.9, 0.98], "eps": 1e-8}},
+        "lr_scheduler": {"type": "Cosine", "kwargs": {
+            "base_lr": 0.0005, "warmup_lr": 0.005, "min_lr": 0.0,
+            "warmup_steps": 2, "max_iter": 4}},
+        "data": {"train": {
+            "data_path": str(shard_dir) + "/{00000..00003}.tar",
+            "transforms": "ONECROP", "image_size": 32, "context_length": 16,
+            "num_samples": 16, "num_shards": 4, "workers": 1,
+            "batch_size": 4, "epoch": 1,
+            "context_buckets": [8, 16], "context_buckets_sync": True,
+        }},
+        "saver": {"print_freq": 1, "val_freq": 0, "save_freq": 0,
+                  "save_many": False},
+        "reset": {"enable": False},
+    }
+    cfg_path = tmp_path / "mh_bucket.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    train = os.path.join(os.path.dirname(__file__), "..", "scripts", "train.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, train, "--config", str(cfg_path),
+             "--output_path", str(tmp_path / f"out{i}"), "--exp_name", "mhb",
+             "--debug", "--platform", "cpu", "--cpu_devices", "1",
+             "--multihost", "--coordinator", f"127.0.0.1:{port}",
+             "--num_processes", "2", "--process_id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    losses = [re.findall(r"Iter \[\d+/\d+\] loss ([\d.]+)", out) for out in outs]
+    assert losses[0] and losses[0] == losses[1], (losses, outs[0][-2000:])
