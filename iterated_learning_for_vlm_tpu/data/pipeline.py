@@ -15,6 +15,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import collections
+import functools
 import io
 import random
 import threading
@@ -140,41 +141,69 @@ def bucket_context(batch: Dict[str, np.ndarray], buckets) -> Dict[str, np.ndarra
     if b is None:
         return batch
     out = dict(batch)
-    for key in ("tokens", "pad_mask", "mlm_labels"):
+    for key in _TOKEN_KEYS:
         if key in out:
             out[key] = np.ascontiguousarray(out[key][:, :b])
     return out
 
 
-def bucket_context_synced(batch: Dict[str, np.ndarray], buckets) -> Dict[str, np.ndarray]:
-    """Multi-host :func:`bucket_context`: all hosts agree on one bucket per
-    step via a tiny per-batch ``process_allgather`` of the local max caption
-    length (the global program shape must match on every host; a shape
-    disagreement would deadlock the collectives).  One host collective
-    (~scalar int) per step — negligible next to a ~90 ms train step.
-    Every host iterates its loader in lockstep (the sizing math gives every
-    host the same batch count), so the allgather calls pair up.  Opt-in via
-    ``data.train.context_buckets_sync: true``."""
+# every context-length-shaped batch key; extend HERE when the pipeline grows
+# a new token-shaped key so host- and device-side bucketing stay in step
+_TOKEN_KEYS = ("tokens", "pad_mask", "mlm_labels")
+
+
+def bucket_global_batch(batch, buckets):
+    """Multi-host :func:`bucket_context` for GLOBAL (host-sharded, on-device)
+    batches: all hosts agree on one bucket per step via a tiny jitted global
+    reduction of the max caption length, then slice the token keys with a
+    static on-device slice (one compile per bucket).
+
+    DISPATCH-ORDER CONTRACT: multi-host JAX requires every process to launch
+    cross-host computations in the same order, so this MUST be called from
+    the same thread that dispatches the train steps (the solver loop calls
+    it on the main thread, AFTER ``prefetch_to_device`` — never from the
+    prefetch producer thread, where it would race step dispatch and can
+    deadlock the collectives).  It also requires every host to make the same
+    number of calls — guaranteed on the train path by the sizing math
+    (equal ``num_batches`` per host) and the shared ``total_step``.
+    Opt-in via ``data.train.context_buckets_sync: true``."""
     if not buckets:
         return batch
-    import jax
-
-    local_max = _max_true_len(batch["pad_mask"])
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        global_max = int(np.max(np.asarray(
-            multihost_utils.process_allgather(np.int32(local_max)))))
-    else:
-        global_max = local_max
-    b = _bucket_for_len(global_max, np.asarray(batch["pad_mask"]).shape[1], buckets)
+    pad = batch["pad_mask"]
+    gmax = int(_global_max_len_fn()(pad))
+    b = _bucket_for_len(gmax, pad.shape[1], buckets)
     if b is None:
         return batch
     out = dict(batch)
-    for key in ("tokens", "pad_mask", "mlm_labels"):
+    for key in _TOKEN_KEYS:
         if key in out:
-            out[key] = np.ascontiguousarray(out[key][:, :b])
+            out[key] = _slice_cols(out[key], b)
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _global_max_len_fn():
+    """Jitted global max-caption-length reduction (cached: a fresh ``jit``
+    per call would retrace every step).  On a host-sharded global pad_mask
+    the output is a fully-replicated scalar — the cross-host agreement."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda m: jnp.max(jnp.sum((m == 0.0).astype(jnp.int32), axis=1)))
+
+
+@functools.lru_cache(maxsize=None)
+def _slice_fn(b: int):
+    import jax
+
+    return jax.jit(lambda a: a[:, :b])
+
+
+def _slice_cols(x, b: int):
+    """Static on-device column slice (cached jit per bucket size); keeps the
+    global array's sharding (the context axis is replicated)."""
+    return _slice_fn(b)(x)
 
 
 def _max_true_len(pad_mask) -> int:
@@ -246,20 +275,23 @@ def get_wds_dataset(
     context_length = int(cfg.get("context_length", 77))
     # Context-length bucketing (see bucket_context).  Under multi-host data
     # sharding the bucket is a per-batch *global* program shape:
-    # context_buckets_sync: true makes all hosts agree via a tiny per-batch
-    # process_allgather (bucket_context_synced); without it, buckets are
-    # disabled and every batch runs at the full context.
+    # context_buckets_sync: true DEFERS bucketing to the solver's main loop
+    # (bucket_global_batch — the agreement is a cross-host device reduction
+    # that must be dispatched from the step-dispatch thread, never from this
+    # loader's prefetch producer thread); without it, buckets are disabled
+    # and every batch runs at the full context.
     context_buckets = cfg.get("context_buckets") or ()
     buckets_synced = bool(cfg.get("context_buckets_sync", False))
-    if context_buckets and world_size > 1 and not buckets_synced:
-        logger.warning(
-            "data.train.context_buckets disabled: %d-way host sharding needs "
-            "a per-step cross-host shape agreement (set "
-            "data.train.context_buckets_sync: true to enable it via a "
-            "per-batch host collective).",
-            world_size,
-        )
-        context_buckets = ()
+    if context_buckets and world_size > 1:
+        if not buckets_synced:
+            logger.warning(
+                "data.train.context_buckets disabled: %d-way host sharding "
+                "needs a per-step cross-host shape agreement (set "
+                "data.train.context_buckets_sync: true to let the solver "
+                "apply it via a per-batch global reduction).",
+                world_size,
+            )
+        context_buckets = ()  # never bucket in-loader under host sharding
     # MLM masking (reference masks inside the text tokenizer,
     # text_transformer.py:172-174: the masked sequence feeds BOTH the
     # contrastive text embedding and the MLM labels) — here it runs host-side
@@ -351,10 +383,7 @@ def get_wds_dataset(
                     batch["mlm_labels"] = labels.astype(np.int32)
                 if two_views:
                     batch["image_v2"] = np.stack(images_v2).astype(np.float32)
-                if buckets_synced and world_size > 1:
-                    yield bucket_context_synced(batch, context_buckets)
-                else:
-                    yield bucket_context(batch, context_buckets)
+                yield bucket_context(batch, context_buckets)
                 images, images_v2, texts = [], [], []
                 produced += 1
                 if produced >= num_batches:

@@ -68,6 +68,15 @@ class JitEncoder:
     ):
         self.model = model
         if weight_dtype is not None:  # serving: pre-cast matmul weights
+            model_dtype = jnp.dtype(getattr(model, "dtype", jnp.float32))
+            if model_dtype != jnp.dtype(weight_dtype):
+                # the cast is only EXACT when the towers already compute in
+                # weight_dtype (they cast per-use); under fp32 compute it
+                # would silently round every weight
+                raise ValueError(
+                    f"weight_dtype={weight_dtype} requires a model computing "
+                    f"in that dtype (model dtype is {model_dtype}); build the "
+                    "model with dtype: bfloat16 or drop weight_dtype")
             params = serving_cast_params(params, jnp.dtype(weight_dtype))
         self.params = params
         self.is_fdt = is_fdt

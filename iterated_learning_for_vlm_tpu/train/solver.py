@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.pipeline import get_wds_dataset, prefetch_to_device
+from ..data.pipeline import (
+    bucket_global_batch, get_wds_dataset, prefetch_to_device,
+)
 from ..data.synthetic import SyntheticClipData
 from ..data.tokenizer import get_tokenizer
 from ..models import model_entry
@@ -252,6 +254,17 @@ class Solver:
                 seed=self.seed,
             )
             self.num_batches_per_epoch = self.train_data.num_batches
+        # Multi-host synced context bucketing is applied HERE in the main
+        # loop (not in the loader): the bucket agreement is a cross-host
+        # device reduction, and multi-host JAX requires all such programs to
+        # be dispatched in the same order on every process — the prefetch
+        # producer thread would race the step dispatch (see
+        # data/pipeline.py:bucket_global_batch).
+        self._sync_buckets = tuple(
+            int(b) for b in (dcfg.get("context_buckets") or ())
+        ) if (dcfg.get("context_buckets_sync", False)
+              and jax.process_count() > 1
+              and not dcfg.get("synthetic", False)) else ()
 
     def _build_lr_scheduler(self):
         sched_cfg = Config(self.config.lr_scheduler.to_dict())
@@ -379,6 +392,8 @@ class Solver:
                 break
             for batch in self._batches(epoch):
                 meters["data_time"].update(time.time() - end)
+                if self._sync_buckets:
+                    batch = bucket_global_batch(batch, self._sync_buckets)
                 step += 1
                 temperature = fdt_temperature(step, t_decay, default_T) if self.is_fdt else 0.0
                 self.state, metrics = self.train_step(

@@ -2,11 +2,13 @@
 
 New vs the reference (which always computes the full 77-token context,
 ``text_transformer.py:155-167``): batches whose captions all fit a smaller
-bucket run the text tower at that static length.  These tests pin the two
+bucket run the text tower at that static length.  These tests pin the
 load-bearing claims: (a) the bucket slice is exact — every consumer of token
 features is causal/EOT/pad-masked, so dropping all-pad tail columns changes
-no output; (b) the pipeline picks the right bucket and stays off under
-multi-host sharding.
+no output; (b) the pipeline picks the right bucket; (c) under multi-host
+sharding the loader never buckets — without ``context_buckets_sync`` buckets
+disable, with it the solver's main loop applies a cross-host agreed bucket
+(``bucket_global_batch``; proven end-to-end by the 2-process cluster test).
 """
 import io
 import os
@@ -214,30 +216,36 @@ def test_jit_encoder_text_buckets_exact():
 
 # ------------------------------------------------------- multi-host sync --
 
-def test_pipeline_buckets_synced_multihost(tmp_path):
-    """context_buckets_sync: true keeps bucketing ON under host sharding —
-    hosts agree on the bucket via a per-batch allgather of the max caption
-    length (single-process here: the agreement reduces to the local max)."""
+def test_pipeline_sync_defers_bucketing_to_solver(tmp_path):
+    """Under host sharding the LOADER never buckets — with
+    context_buckets_sync the slice is deferred to the solver's main loop
+    (bucket_global_batch), because the cross-host agreement must be
+    dispatched from the step-dispatch thread, not the prefetch producer."""
     path = _shard(tmp_path, [f"a cat number {i}" for i in range(8)])
     info = get_wds_dataset(_cfg(path, num_samples=4, context_buckets_sync=True),
                            world_size=2, rank=0)
     batch = next(info.loader_fn(0))
-    assert batch["tokens"].shape == (4, 32)  # bucketed, not disabled
+    assert batch["tokens"].shape == (4, 77)  # deferred, not sliced in-loader
 
 
-def test_bucket_context_synced_matches_local_single_process():
-    from iterated_learning_for_vlm_tpu.data.pipeline import bucket_context_synced
+def test_bucket_global_batch_slices_and_overflows():
+    from iterated_learning_for_vlm_tpu.data.pipeline import bucket_global_batch
 
-    tokens = np.zeros((4, 77), np.int32)
-    pad = np.full((4, 77), -np.inf, np.float32)
-    pad[:, :20] = 0.0
-    batch = {"tokens": tokens, "pad_mask": pad}
-    out = bucket_context_synced(dict(batch), [32, 77])
-    ref = bucket_context(dict(batch), [32, 77])
-    assert out["tokens"].shape == ref["tokens"].shape == (4, 32)
+    tokens = jnp.zeros((4, 77), jnp.int32)
+    pad = jnp.full((4, 77), -jnp.inf)
+    pad = pad.at[:, :20].set(0.0)
+    out = bucket_global_batch({"tokens": tokens, "pad_mask": pad,
+                               "image": jnp.zeros((4, 2))}, (32, 77))
+    assert out["tokens"].shape == (4, 32)
+    assert out["pad_mask"].shape == (4, 32)
+    assert out["image"].shape == (4, 2)
+    # matches the host-side bucket choice
+    ref = bucket_context({"tokens": np.zeros((4, 77), np.int32),
+                          "pad_mask": np.asarray(pad)}, [32, 77])
+    assert ref["tokens"].shape == (4, 32)
     # overflow falls back to full context
-    pad[0, :50] = 0.0
-    out = bucket_context_synced({"tokens": tokens, "pad_mask": pad}, [32, 77])
+    pad = pad.at[0, :50].set(0.0)
+    out = bucket_global_batch({"tokens": tokens, "pad_mask": pad}, (32, 77))
     assert out["tokens"].shape == (4, 77)
 
 
@@ -310,7 +318,12 @@ def test_synced_buckets_two_process_cluster(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        for p in procs:  # never leak a deadlocked rank (it holds the port)
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     losses = [re.findall(r"Iter \[\d+/\d+\] loss ([\d.]+)", out) for out in outs]
