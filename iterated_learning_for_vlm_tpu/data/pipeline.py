@@ -46,6 +46,11 @@ class DataInfo:
     loader_fn: Callable[[int], Iterator[Dict[str, np.ndarray]]]
     num_batches: int
     num_samples: int
+    # Buckets the loader DEFERRED to the solver loop (multi-host synced
+    # context bucketing): the single source of truth for whether the solver
+    # must apply :func:`synced_bucket_batches` — the solver must not
+    # re-derive the gating from raw config keys, or the two ends drift.
+    deferred_buckets: tuple = ()
 
     def __post_init__(self):
         self._epoch = 0
@@ -165,13 +170,41 @@ def bucket_global_batch(batch, buckets):
     prefetch producer thread, where it would race step dispatch and can
     deadlock the collectives).  It also requires every host to make the same
     number of calls — guaranteed on the train path by the sizing math
-    (equal ``num_batches`` per host) and the shared ``total_step``.
-    Opt-in via ``data.train.context_buckets_sync: true``."""
+    (equal ``num_batches`` per host) and the shared ``total_step``; the
+    prefetch producer propagates its failures to this thread
+    (:func:`prefetch_to_device`) so a dying loader can never silently
+    shorten one host's call sequence.
+    Opt-in via ``data.train.context_buckets_sync: true``.  The solver uses
+    the pipelined form, :func:`synced_bucket_batches`."""
     if not buckets:
         return batch
-    pad = batch["pad_mask"]
-    gmax = int(_global_max_len_fn()(pad))
-    b = _bucket_for_len(gmax, pad.shape[1], buckets)
+    return _apply_bucket(batch, _global_max_len_fn()(batch["pad_mask"]), buckets)
+
+
+def synced_bucket_batches(batches: Iterator, buckets) -> Iterator:
+    """:func:`bucket_global_batch` over a batch stream with ONE-BATCH
+    LOOKAHEAD: the global max-length reduction for batch N+1 is dispatched
+    *before* batch N is yielded (and therefore before the solver dispatches
+    train step N), so by the time batch N+1's bucket is resolved on host the
+    reduction has already executed ahead of step N in the device stream —
+    the blocking ``int()`` never waits behind a full train step.  Same
+    dispatch-order contract as :func:`bucket_global_batch`: iterate this
+    only from the step-dispatch thread."""
+    if not buckets:
+        yield from batches
+        return
+    pending = None  # (batch, in-flight global max-length scalar)
+    for batch in batches:
+        gmax = _global_max_len_fn()(batch["pad_mask"])  # dispatch, don't block
+        if pending is not None:
+            yield _apply_bucket(*pending, buckets)
+        pending = (batch, gmax)
+    if pending is not None:
+        yield _apply_bucket(*pending, buckets)
+
+
+def _apply_bucket(batch, gmax, buckets):
+    b = _bucket_for_len(int(gmax), batch["pad_mask"].shape[1], buckets)
     if b is None:
         return batch
     out = dict(batch)
@@ -282,8 +315,11 @@ def get_wds_dataset(
     # and every batch runs at the full context.
     context_buckets = cfg.get("context_buckets") or ()
     buckets_synced = bool(cfg.get("context_buckets_sync", False))
+    deferred_buckets: tuple = ()
     if context_buckets and world_size > 1:
-        if not buckets_synced:
+        if buckets_synced:
+            deferred_buckets = tuple(int(b) for b in context_buckets)
+        else:
             logger.warning(
                 "data.train.context_buckets disabled: %d-way host sharding "
                 "needs a per-step cross-host shape agreement (set "
@@ -389,7 +425,8 @@ def get_wds_dataset(
                 if produced >= num_batches:
                     return
 
-    return DataInfo(loader_fn=loader, num_batches=num_batches, num_samples=sized_samples)
+    return DataInfo(loader_fn=loader, num_batches=num_batches,
+                    num_samples=sized_samples, deferred_buckets=deferred_buckets)
 
 
 def get_neg_wds_dataset(cfg, world_size=1, rank=0, tokenizer=None, seed=0) -> DataInfo:
@@ -430,8 +467,13 @@ def prefetch_to_device(iterator: Iterator, mesh=None, size: int = 2) -> Iterator
                 else:
                     batch = jax.tree.map(jax.device_put, batch)
                 q.put(batch)
-        finally:
             q.put(stop)
+        except BaseException as exc:  # noqa: BLE001 — re-raised on main thread
+            # NEVER end the epoch silently: a swallowed loader failure would
+            # shorten this host's batch count, and under multi-host training
+            # the other hosts would hang in the next collective (the solver's
+            # equal-calls-per-host contract, see bucket_global_batch).
+            q.put(_ProducerFailure(exc))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -439,4 +481,13 @@ def prefetch_to_device(iterator: Iterator, mesh=None, size: int = 2) -> Iterator
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, _ProducerFailure):
+            raise item.exc  # original traceback preserved (__traceback__)
         yield item
+
+
+class _ProducerFailure:
+    """Exception carrier from the prefetch producer thread to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

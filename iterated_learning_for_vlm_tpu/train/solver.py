@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.pipeline import (
-    bucket_global_batch, get_wds_dataset, prefetch_to_device,
+    get_wds_dataset, prefetch_to_device, synced_bucket_batches,
 )
 from ..data.synthetic import SyntheticClipData
 from ..data.tokenizer import get_tokenizer
@@ -254,17 +254,22 @@ class Solver:
                 seed=self.seed,
             )
             self.num_batches_per_epoch = self.train_data.num_batches
-        # Multi-host synced context bucketing is applied HERE in the main
-        # loop (not in the loader): the bucket agreement is a cross-host
-        # device reduction, and multi-host JAX requires all such programs to
-        # be dispatched in the same order on every process — the prefetch
-        # producer thread would race the step dispatch (see
-        # data/pipeline.py:bucket_global_batch).
-        self._sync_buckets = tuple(
-            int(b) for b in (dcfg.get("context_buckets") or ())
-        ) if (dcfg.get("context_buckets_sync", False)
-              and jax.process_count() > 1
-              and not dcfg.get("synthetic", False)) else ()
+        # Multi-host synced context bucketing is applied by the SOLVER's
+        # batch stream (not inside the loader): the bucket agreement is a
+        # cross-host device reduction, and multi-host JAX requires all such
+        # programs to be dispatched in the same order on every process — the
+        # prefetch producer thread would race the step dispatch (see
+        # data/pipeline.py:bucket_global_batch).  The loader decides WHETHER
+        # it deferred (DataInfo.deferred_buckets is the single source of
+        # truth); the solver only honors it.
+        self._sync_buckets = (
+            self.train_data.deferred_buckets if self.train_data is not None else ()
+        )
+        if self._sync_buckets:
+            self.logger.info(
+                "synced context buckets engaged (solver-applied): %s",
+                self._sync_buckets,
+            )
 
     def _build_lr_scheduler(self):
         sched_cfg = Config(self.config.lr_scheduler.to_dict())
@@ -347,7 +352,12 @@ class Solver:
         else:
             self.train_data.set_epoch(epoch)
             it = self.train_data.dataloader
-        return prefetch_to_device(it, self.mesh, size=2)
+        it = prefetch_to_device(it, self.mesh, size=2)
+        if self._sync_buckets:
+            # one-batch-lookahead cross-host bucket agreement, dispatched
+            # from this (the step-dispatch) thread as the loop pulls batches
+            it = synced_bucket_batches(it, self._sync_buckets)
+        return it
 
     def train(self):
         # in-flight async checkpoint writes must become durable even when the
@@ -392,8 +402,6 @@ class Solver:
                 break
             for batch in self._batches(epoch):
                 meters["data_time"].update(time.time() - end)
-                if self._sync_buckets:
-                    batch = bucket_global_batch(batch, self._sync_buckets)
                 step += 1
                 temperature = fdt_temperature(step, t_decay, default_T) if self.is_fdt else 0.0
                 self.state, metrics = self.train_step(
@@ -426,12 +434,15 @@ class Solver:
                     pending = []
                     if step % print_freq == 0:
                         remain = (total_step - step) * meters["batch_time"].avg
+                        # ctx = the step's static text context (shows which
+                        # bucket actually ran — pins context bucketing in logs)
+                        ctx = batch["tokens"].shape[1] if "tokens" in batch else 0
                         self.logger.info(
                             "Iter [%d/%d] loss %.4f (%.4f) acc1 %.2f lr %.3e "
-                            "logit_scale %.3f T %.3f bt %.3fs eta %.0fmin",
+                            "logit_scale %.3f T %.3f bt %.3fs eta %.0fmin ctx %d",
                             step, total_step, m["loss"], meters["loss"].avg,
                             m["acc1"], m["lr"], m["logit_scale"], temperature,
-                            meters["batch_time"].avg, remain / 60,
+                            meters["batch_time"].avg, remain / 60, ctx,
                         )
                         self.metrics_writer.log(
                             {"loss_all": m["loss"], "acc1_train": m["acc1"],

@@ -224,8 +224,15 @@ def test_pipeline_sync_defers_bucketing_to_solver(tmp_path):
     path = _shard(tmp_path, [f"a cat number {i}" for i in range(8)])
     info = get_wds_dataset(_cfg(path, num_samples=4, context_buckets_sync=True),
                            world_size=2, rank=0)
+    assert info.deferred_buckets == (32, 77)  # solver's single source of truth
     batch = next(info.loader_fn(0))
     assert batch["tokens"].shape == (4, 77)  # deferred, not sliced in-loader
+    # without the sync flag nothing is deferred (buckets just disable)
+    info = get_wds_dataset(_cfg(path, num_samples=4), world_size=2, rank=0)
+    assert info.deferred_buckets == ()
+    # single host: loader buckets itself, nothing deferred
+    info = get_wds_dataset(_cfg(path, num_samples=4), world_size=1, rank=0)
+    assert info.deferred_buckets == ()
 
 
 def test_bucket_global_batch_slices_and_overflows():
@@ -249,6 +256,43 @@ def test_bucket_global_batch_slices_and_overflows():
     assert out["tokens"].shape == (4, 77)
 
 
+def test_synced_bucket_batches_lookahead_stream():
+    """The solver's pipelined form (one-batch lookahead) yields every batch,
+    in order, with exactly the slice bucket_global_batch would apply."""
+    from iterated_learning_for_vlm_tpu.data.pipeline import (
+        bucket_global_batch, synced_bucket_batches)
+
+    def mk(true_len, tag):
+        pad = jnp.full((4, 77), -jnp.inf).at[:, :true_len].set(0.0)
+        return {"tokens": jnp.full((4, 77), tag, jnp.int32), "pad_mask": pad}
+
+    batches = [mk(12, 0), mk(40, 1), mk(5, 2)]
+    out = list(synced_bucket_batches(iter(batches), (32, 77)))
+    ref = [bucket_global_batch(b, (32, 77)) for b in batches]
+    assert [o["tokens"].shape for o in out] == [(4, 32), (4, 77), (4, 32)]
+    for o, r in zip(out, ref):
+        assert o["tokens"].shape == r["tokens"].shape
+        assert int(o["tokens"][0, 0]) == int(r["tokens"][0, 0])  # order kept
+    # no buckets -> passthrough
+    assert list(synced_bucket_batches(iter(batches), ())) == batches
+
+
+def test_prefetch_producer_failure_propagates():
+    """A dying loader must raise on the consuming (step-dispatch) thread,
+    never silently end the epoch: under multi-host training a short batch
+    stream on one host deadlocks every other host's next collective."""
+    from iterated_learning_for_vlm_tpu.data.pipeline import prefetch_to_device
+
+    def loader():
+        yield {"x": np.zeros((2,), np.float32)}
+        raise RuntimeError("decode exploded")
+
+    it = prefetch_to_device(loader(), mesh=None, size=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        next(it)
+
+
 @pytest.mark.slow
 def test_synced_buckets_two_process_cluster(tmp_path):
     """TRUE multi-host synced bucketing: two OS processes, host-sharded wds
@@ -268,8 +312,14 @@ def test_synced_buckets_two_process_cluster(tmp_path):
     long = " ".join(["wordy"] * 20)  # > 8 BPE tokens -> needs the 16 bucket
     shard_dir = tmp_path / "shards"
     shard_dir.mkdir()
+    # long captions live ONLY in shard 3 (one rank's split): that rank's
+    # local max differs from the other's on the batches that draw them
+    # (the disagreement an unsynced loader would deadlock on), while their
+    # rarity (2/8 in one shard) leaves other batches all-short so the
+    # 8-token bucket demonstrably fires (asserted below; the draw is
+    # deterministic for the pinned seeds)
     for s in range(4):
-        caps = [long if (s >= 2 and i % 2 == 0) else f"a cat {i}"
+        caps = [long if (s == 3 and i < 2) else f"a cat {i}"
                 for i in range(8)]
         samples = [{"__key__": f"{s:02d}{i:04d}", "jpg": _jpeg_bytes((s * 8 + i) * 7 % 255),
                     "txt": c.encode()} for i, c in enumerate(caps)]
@@ -291,7 +341,7 @@ def test_synced_buckets_two_process_cluster(tmp_path):
         "data": {"train": {
             "data_path": str(shard_dir) + "/{00000..00003}.tar",
             "transforms": "ONECROP", "image_size": 32, "context_length": 16,
-            "num_samples": 16, "num_shards": 4, "workers": 1,
+            "num_samples": 32, "num_shards": 4, "workers": 1,
             "batch_size": 4, "epoch": 1,
             "context_buckets": [8, 16], "context_buckets_sync": True,
         }},
@@ -328,3 +378,14 @@ def test_synced_buckets_two_process_cluster(tmp_path):
         assert p.returncode == 0, out[-3000:]
     losses = [re.findall(r"Iter \[\d+/\d+\] loss ([\d.]+)", out) for out in outs]
     assert losses[0] and losses[0] == losses[1], (losses, outs[0][-2000:])
+    # NOT vacuous: prove synced bucketing actually engaged and actually
+    # sliced (identical losses alone would also pass if bucketing silently
+    # disabled).  Every iter line logs the step's static text context.
+    assert "synced context buckets engaged" in outs[0], outs[0][-2000:]
+    ctxs = [re.findall(r" ctx (\d+)$", out, re.MULTILINE) for out in outs]
+    assert ctxs[0] and ctxs[0] == ctxs[1], (ctxs, outs[0][-2000:])
+    assert any(int(c) < 16 for c in ctxs[0]), (
+        "no batch ran below the full 16-token context", ctxs)
+    assert any(int(c) == 16 for c in ctxs[0]), (
+        "no batch drew a long caption — the cross-host disagreement case "
+        "was never exercised", ctxs)
