@@ -27,15 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import cdiv as _cdiv, interpret_mode as _interpret
 from ..models.sparsemax import sparsemax_bisect
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
-
-
-def _cdiv(a, b):
-    return -(-a // b)
 
 
 # -- forward: pooled logits ---------------------------------------------------
@@ -119,15 +112,31 @@ def _routing_matrix(dp, am, keep_rows, coeff, t):
     return m
 
 
-def _bwd_dq_kernel(temp_ref, dp_ref, amax_ref, sd_ref, keep_ref, dq_ref, *, scale):
+def _bwd_dq_kernel(temp_ref, dp_ref, amax_ref, sd_ref, keep_ref, dq_ref, *,
+                   scale, n_rem=0):
     t = dq_ref.shape[1]
     dp = dp_ref[:, 0, :].astype(jnp.float32)  # [BB, NN]
+    sd = sd_ref[...].astype(jnp.float32)
+    if n_rem:
+        # nn does not divide the codebook size: the final tile's dp/sd tail
+        # is UNDEFINED VMEM, and here the codebook axis is the *accumulated*
+        # axis — garbage (incl. NaN) would flow into every retained dq row.
+        # Zero both sides of the dot on the final tile (0*0, NaN-proof);
+        # dividing tiles skip this branch entirely at trace time.
+        nn = dp.shape[1]
+        not_last = pl.program_id(1) != pl.num_programs(1) - 1
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, nn), 1)
+        dp = jnp.where(jnp.logical_or(not_last, lane < n_rem), dp, 0.0)
+        # separate iota for the sd-row mask: Mosaic cannot reshape a
+        # [1, nn] i1 vector onto the sublane axis
+        row = jax.lax.broadcasted_iota(jnp.int32, (nn, 1), 0)
+        sd = jnp.where(jnp.logical_or(not_last, row < n_rem), sd, 0.0)
     am = amax_ref[:, 0, :]
     keep_rows = None if keep_ref is None else keep_ref[:, 0, :].astype(jnp.float32)
     m = _routing_matrix(dp, am, keep_rows, scale / temp_ref[0], t)  # [BB, T, NN]
     bb, _, nn = m.shape
     contrib = jnp.dot(
-        m.reshape(bb * t, nn), sd_ref[...].astype(jnp.float32),
+        m.reshape(bb * t, nn), sd,
         preferred_element_type=jnp.float32,
     ).reshape(bb, t, -1)
 
@@ -191,7 +200,7 @@ def _pooled_bwd(q, sd, keep, temperature, amax, dpooled, *, bb=8, nn=512):
     else:
         dq_kernel = _drop_arg(dq_kernel, pos=4)
     dq = pl.pallas_call(
-        functools.partial(dq_kernel, scale=scale),
+        functools.partial(dq_kernel, scale=scale, n_rem=n % nn),
         # accumulate dq across codebook tiles in fp32, cast at the end
         out_shape=jax.ShapeDtypeStruct(q.shape, jnp.float32),
         grid=(b_tiles, n_tiles),

@@ -23,9 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from ._common import interpret_mode as _interpret
 
 
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
@@ -88,27 +86,38 @@ def _flash_attention(q, k, v, bias, scale):
 
 
 def _fwd_impl(q, k, v, bias, scale):
-    b, s, h, d = q.shape
-    # [B, S, H, D] -> [B*H, S, D]
-    def to_bh(t):
-        return t.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    from .partitioning import batch_partitioned
 
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
-    with_bias = bias is not None
-    args = [qb, kb, vb] + ([bias] if with_bias else [])
+    # shard-local lowering: under a dp-sharded jit each shard re-derives the
+    # grid from ITS batch (without the rule the opaque Mosaic call would be
+    # replicated — every chip all-gathering the global batch)
+    def inner(q, k, v, *rest):
+        bias_ = rest[0] if rest else None
+        b, s, h, d = q.shape
+        # [B, S, H, D] -> [B*H, S, D]
+        def to_bh(t):
+            return t.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _attn_fwd_kernel if with_bias else _no_bias(_attn_fwd_kernel), scale=scale
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-        grid=(b, h),
-        in_specs=_specs(b, h, s, d, with_bias),
-        out_specs=pl.BlockSpec((1, s, d), lambda i, j: (i * h + j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(*args)
-    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+        qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+        with_bias = bias_ is not None
+        args = [qb, kb, vb] + ([bias_] if with_bias else [])
+
+        out = pl.pallas_call(
+            functools.partial(
+                _attn_fwd_kernel if with_bias else _no_bias(_attn_fwd_kernel),
+                scale=scale,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+            grid=(b, h),
+            in_specs=_specs(b, h, s, d, with_bias),
+            out_specs=pl.BlockSpec((1, s, d), lambda i, j: (i * h + j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(*args)
+        return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+    args = (q, k, v) if bias is None else (q, k, v, bias)
+    return batch_partitioned(inner, batch_args=(0, 1, 2))(*args)
 
 
 def _no_bias(kernel):
@@ -131,35 +140,44 @@ def _fwd_rule(q, k, v, bias, scale):
 
 
 def _bwd_rule(scale, res, g):
+    from .partitioning import batch_partitioned
+
     q, k, v, bias = res
-    b, s, h, d = q.shape
 
-    def to_bh(t):
-        return t.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    def inner(q, k, v, g, *rest):
+        bias_ = rest[0] if rest else None
+        b, s, h, d = q.shape
 
-    qb, kb, vb, gb = to_bh(q), to_bh(k), to_bh(v), to_bh(g)
-    with_bias = bias is not None
-    args = [qb, kb, vb] + ([bias] if with_bias else []) + [gb]
+        def to_bh(t):
+            return t.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
-    in_specs = _specs(b, h, s, d, with_bias)
-    in_specs.append(pl.BlockSpec((1, s, d), lambda i, j: (i * h + j, 0, 0),
-                                 memory_space=pltpu.VMEM))
-    out_spec = pl.BlockSpec((1, s, d), lambda i, j: (i * h + j, 0, 0),
-                            memory_space=pltpu.VMEM)
-    kernel = _attn_bwd_kernel if with_bias else _no_bias_bwd(_attn_bwd_kernel)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(kernel, scale=scale),
-        out_shape=[jax.ShapeDtypeStruct((b * h, s, d), q.dtype)] * 3,
-        grid=(b, h),
-        in_specs=in_specs,
-        out_specs=[out_spec] * 3,
-        interpret=_interpret(),
-    )(*args)
+        qb, kb, vb, gb = to_bh(q), to_bh(k), to_bh(v), to_bh(g)
+        with_bias = bias_ is not None
+        args = [qb, kb, vb] + ([bias_] if with_bias else []) + [gb]
 
-    def from_bh(t):
-        return t.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+        in_specs = _specs(b, h, s, d, with_bias)
+        in_specs.append(pl.BlockSpec((1, s, d), lambda i, j: (i * h + j, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_spec = pl.BlockSpec((1, s, d), lambda i, j: (i * h + j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        kernel = _attn_bwd_kernel if with_bias else _no_bias_bwd(_attn_bwd_kernel)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(kernel, scale=scale),
+            out_shape=[jax.ShapeDtypeStruct((b * h, s, d), q.dtype)] * 3,
+            grid=(b, h),
+            in_specs=in_specs,
+            out_specs=[out_spec] * 3,
+            interpret=_interpret(),
+        )(*args)
 
-    return from_bh(dq), from_bh(dk), from_bh(dv), None
+        def from_bh(t):
+            return t.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+        return from_bh(dq), from_bh(dk), from_bh(dv)
+
+    args = (q, k, v, g) if bias is None else (q, k, v, g, bias)
+    dq, dk, dv = batch_partitioned(inner, batch_args=(0, 1, 2, 3))(*args)
+    return dq, dk, dv, None
 
 
 _flash_attention.defvjp(_fwd_rule, _bwd_rule)

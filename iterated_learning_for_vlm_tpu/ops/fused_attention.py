@@ -51,12 +51,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._common import interpret_mode as _interpret
+
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 _SUBLANE = 8
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _pad_seq(s: int) -> int:

@@ -26,7 +26,15 @@ from .mesh import MODEL_AXIS
 # (path-suffix match, partition spec builder given kernel ndim)
 _COLUMN_SPLIT = {"c_fc", "fc_1"}  # [in, out] -> split out
 _ROW_SPLIT = {"c_proj", "out_proj", "fc_2"}  # [in, out] -> split in
-_QKV = {"in_proj"}  # packed qkv: split out (heads split)
+# Packed [q|k|v] in_proj: column split over the PACKED dim.  NOT a Megatron
+# head split — tp-rank boundaries cut through the q/k/v sections (rank0 of
+# tp=2 at D=768 holds all of q + half of k), so no rank owns complete
+# (q,k,v) heads and GSPMD must regather the qkv activation before attention
+# (the fused kernel's batch rule replicates non-batch dims anyway).  The
+# split still balances the in_proj matmul FLOPs/param memory across ranks;
+# a true head split needs a head-major param layout, which would break the
+# torch-checkpoint interchange (tools/torch_checkpoint.py packed mapping).
+_QKV = {"in_proj"}
 
 
 def param_spec(path, leaf) -> P:

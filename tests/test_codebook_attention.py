@@ -71,6 +71,33 @@ def test_explicit_tile_overrides_match_auto(data):
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(base[1]), atol=1e-5)
 
 
+def test_gradients_match_non_dividing_codebook_tile():
+    """nn NOT dividing the codebook size: in the dq kernel the codebook axis
+    is the ACCUMULATED axis, so the final tile's undefined padded tail must
+    be masked or it corrupts every retained dq row (reproduced on the real
+    TPU backend at n=192, nn=128 before the in-kernel guard; interpret mode
+    zero-fills pads, the chip does not)."""
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(4, 9, 32).astype(np.float32))
+    sd = jnp.asarray(rng.randn(192, 32).astype(np.float32))
+    keep = jnp.asarray((rng.rand(4, 9) > 0.3).astype(np.float32))
+
+    def f_fused(q, sd):
+        att, att_ft = fused_codebook_attention(
+            q, sd, keep_mask=keep, temperature=7.0,
+            fwd_tiles=(4, 128), bwd_tiles=(4, 128))
+        return jnp.sum(att_ft ** 2)
+
+    def f_ref(q, sd):
+        _, _, att_ft = _reference_chain(q, sd, keep, 7.0)
+        return jnp.sum(att_ft ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1))(q, sd)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(q, sd)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
+
+
 def test_gradients_match(data):
     q, sd, keep = data
 

@@ -70,6 +70,38 @@ def test_fused_attention_fwd_lowering_has_no_all_gather():
     )
 
 
+def test_flash_attention_dp_sharded_matches_unsharded():
+    """The (ablation-only) flash kernel carries the same batch-dp rule as
+    the shipping kernels: without it a dp-sharded jit would all-gather the
+    global [B,S,H,D] q/k/v onto every chip."""
+    from iterated_learning_for_vlm_tpu.ops.flash_attention import flash_attention
+
+    b, s, heads, hd = 16, 8, 2, 8
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.standard_normal((b, s, heads, hd)), jnp.float32)
+               for _ in range(3))
+    bias = jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)
+
+    def f(q, k, v):
+        return flash_attention(q, k, v, bias=bias)
+
+    ref = jax.jit(f)(q, k, v)
+    mesh = _mesh((8,), ("data",))
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    args = [jax.device_put(t, sh) for t in (q, k, v)]
+    out = jax.jit(f, in_shardings=(sh, sh, sh))(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    txt = (jax.jit(f, in_shardings=(sh, sh, sh))
+           .lower(*args).compile().as_text())
+    assert "all-gather" not in txt and "all-reduce" not in txt
+
+    g = jax.grad(lambda q, k, v: jnp.sum(jnp.tanh(f(q, k, v))), argnums=(0, 1, 2))
+    ref_g = jax.jit(g)(q, k, v)
+    out_g = jax.jit(g, in_shardings=(sh, sh, sh))(*args)
+    for a, r in zip(out_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=1e-4)
+
+
 @pytest.mark.parametrize("with_keep", [True, False])
 def test_codebook_kernel_dp_sharded_matches_unsharded(with_keep):
     b, t, dd, n = 16, 6, 32, 64
