@@ -39,7 +39,8 @@ def _load_encoder(args):
                              sd_temperature=getattr(args, "sd_temperature", None),
                              model_type=getattr(args, "model_type", "cust_clip"),
                              amp=getattr(args, "amp", True),
-                             num_workers=getattr(args, "num_workers", 4))
+                             num_workers=getattr(args, "num_workers", 4),
+                             data_parallel=getattr(args, "distributed", False))
 
 
 def _dump(args, dataset, task, metrics, language="en", extra=None):
@@ -380,6 +381,12 @@ def build_parser():
                         help="threads for image decode+preprocess (reference "
                              "--num_workers; the augment hot path is "
                              "GIL-releasing native code)")
+        sp.add_argument("--distributed", action="store_true",
+                        help="data-parallel eval over all local devices "
+                             "(reference --distributed splits the eval set "
+                             "over GPU ranks; here the encode batch is "
+                             "sharded over a 1-axis mesh — identical "
+                             "embeddings, every metric unchanged)")
 
     e = sub.add_parser("eval")
     common(e, config_required=False)

@@ -65,6 +65,8 @@ class JitEncoder:
         num_workers: int = 4,
         text_buckets: Optional[Sequence[int]] = (16, 32),
         weight_dtype=None,
+        data_parallel: bool = False,
+        mesh=None,
     ):
         self.model = model
         if weight_dtype is not None:  # serving: pre-cast matmul weights
@@ -78,10 +80,32 @@ class JitEncoder:
                     f"in that dtype (model dtype is {model_dtype}); build the "
                     "model with dtype: bfloat16 or drop weight_dtype")
             params = serving_cast_params(params, jnp.dtype(weight_dtype))
-        self.params = params
         self.is_fdt = is_fdt
         self.tokenizer = tokenizer or get_tokenizer()
         self.batch_size = batch_size
+        # Data-parallel eval over all local devices (the TPU-native form of
+        # the reference's ``--distributed`` flag, cli.py:69 — there it splits
+        # the eval set over GPU ranks; here the fixed-shape encode batch is
+        # sharded over a 1-axis mesh and pjit partitions the towers, so every
+        # metric sees bit-identical gathered embeddings).  Single-process
+        # only: eval never needs a pod (the training mesh path covers that).
+        self.mesh = None
+        self._batch_sharding = None
+        if data_parallel or mesh is not None:
+            from ..parallel.mesh import (
+                batch_sharding, create_mesh, replicate_tree,
+            )
+
+            self.mesh = mesh if mesh is not None else create_mesh()
+            ndev = int(self.mesh.devices.size)
+            if ndev > 1:
+                # fixed encode shape must split evenly over the data axis
+                self.batch_size = -(-self.batch_size // ndev) * ndev
+                self._batch_sharding = batch_sharding(self.mesh)
+                params = replicate_tree(params, self.mesh)
+            else:
+                self.mesh = None
+        self.params = params
         self.normalize = normalize
         self.num_workers = max(1, int(num_workers))
         self.context_length = model.text_cfg.context_length
@@ -128,6 +152,13 @@ class JitEncoder:
         self._img_fn = jax.jit(img_fn, static_argnums=2)
         self._txt_fn = jax.jit(txt_fn, static_argnums=3)
 
+    def _put(self, x) -> jnp.ndarray:
+        """Host array -> device; batch-sharded over the mesh when the encoder
+        runs data-parallel (jit then partitions the whole encode)."""
+        if self._batch_sharding is not None:
+            return jax.device_put(x, self._batch_sharding)
+        return jnp.asarray(x)
+
     # -- images --------------------------------------------------------------
     def preprocess(self, pil_images: Iterable) -> np.ndarray:
         """Decode + transform, threaded when num_workers > 1 (reference
@@ -159,7 +190,7 @@ class JitEncoder:
             pad = bs - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            emb = np.asarray(self._img_fn(self.params, jnp.asarray(chunk), nrm))
+            emb = np.asarray(self._img_fn(self.params, self._put(chunk), nrm))
             out.append(emb[: len(images[i : i + bs])])
         return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
 
@@ -190,7 +221,7 @@ class JitEncoder:
             tokens, pad_mask = self.tokenizer(chunk, context_length=self.context_length)
             tokens, pad_mask = self._bucket_tokens(tokens, pad_mask)
             emb = np.asarray(
-                self._txt_fn(self.params, jnp.asarray(tokens), jnp.asarray(pad_mask), nrm)
+                self._txt_fn(self.params, self._put(tokens), self._put(pad_mask), nrm)
             )
             out.append(emb[:real])
         return np.concatenate(out) if out else np.zeros((0, 1), np.float32)

@@ -52,6 +52,7 @@ def load_eval_encoder(
     amp: bool = True,
     normalize: bool = True,
     num_workers: int = 4,
+    data_parallel: bool = False,
 ) -> JitEncoder:
     """checkpoint may be a path, a list of paths (averaged soup), or None
     (random init, for smoke tests).
@@ -115,4 +116,4 @@ def load_eval_encoder(
         params = spectral_normalize_tree(params)
     return JitEncoder(model, params, is_fdt=is_fdt, batch_size=batch_size,
                       transform=transform, normalize=normalize,
-                      num_workers=num_workers)
+                      num_workers=num_workers, data_parallel=data_parallel)
