@@ -453,6 +453,20 @@ def prefetch_to_device(iterator: Iterator, mesh=None, size: int = 2) -> Iterator
 
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     stop = object()
+    abandoned = threading.Event()  # consumer dropped the stream early
+
+    def _put(item) -> bool:
+        # bounded put: wake periodically so an abandoned consumer (solver
+        # breaking out mid-epoch at max_iter) releases this thread, the
+        # loader's thread pool, and its open shard handles instead of
+        # blocking in q.put for the process lifetime
+        while not abandoned.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -466,24 +480,36 @@ def prefetch_to_device(iterator: Iterator, mesh=None, size: int = 2) -> Iterator
                     batch = host_local_to_global(batch, mesh)
                 else:
                     batch = jax.tree.map(jax.device_put, batch)
-                q.put(batch)
-            q.put(stop)
+                if not _put(batch):
+                    return
+            _put(stop)
         except BaseException as exc:  # noqa: BLE001 — re-raised on main thread
             # NEVER end the epoch silently: a swallowed loader failure would
             # shorten this host's batch count, and under multi-host training
             # the other hosts would hang in the next collective (the solver's
             # equal-calls-per-host contract, see bucket_global_batch).
-            q.put(_ProducerFailure(exc))
+            _put(_ProducerFailure(exc))
+        finally:
+            if abandoned.is_set():
+                close = getattr(iterator, "close", None)
+                if close is not None:
+                    try:
+                        close()
+                    except Exception:  # noqa: BLE001 — best-effort cleanup
+                        pass
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        if isinstance(item, _ProducerFailure):
-            raise item.exc  # original traceback preserved (__traceback__)
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, _ProducerFailure):
+                raise item.exc  # original traceback preserved (__traceback__)
+            yield item
+    finally:
+        abandoned.set()
 
 
 class _ProducerFailure:

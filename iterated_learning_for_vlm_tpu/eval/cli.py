@@ -387,6 +387,14 @@ def build_parser():
                              "over GPU ranks; here the encode batch is "
                              "sharded over a 1-axis mesh — identical "
                              "embeddings, every metric unchanged)")
+        sp.add_argument("--platform", default=None,
+                        help="force a jax platform via the config API "
+                             "(JAX_PLATFORMS env can lose to device "
+                             "plugins); e.g. --platform cpu to evaluate "
+                             "without an accelerator")
+        sp.add_argument("--cpu_devices", type=int, default=None,
+                        help="with --platform cpu: virtual device count "
+                             "(pairs with --distributed for a CPU mesh)")
 
     e = sub.add_parser("eval")
     common(e, config_required=False)
@@ -496,6 +504,16 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if getattr(args, "cpu_devices", None) and not getattr(args, "platform", None):
+        build_parser().error("--cpu_devices only applies with --platform cpu")
+    if getattr(args, "platform", None):
+        # before first device use — authoritative over env vars, which
+        # device plugins can override (scripts/train.py does the same)
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     return args.fn(args)
 
 

@@ -93,14 +93,22 @@ class JitEncoder:
         self._batch_sharding = None
         if data_parallel or mesh is not None:
             from ..parallel.mesh import (
-                batch_sharding, create_mesh, replicate_tree,
+                DATA_AXIS, batch_sharding, create_mesh, replicate_tree,
             )
 
+            if jax.process_count() > 1:
+                # the mesh below spans non-addressable devices and the plain
+                # device_put in _put would fail on their shards — eval never
+                # needs a pod (the training mesh path covers multi-host)
+                raise ValueError(
+                    "data-parallel eval is single-process only; run eval on "
+                    "one host (training handles multi-host meshes)")
             self.mesh = mesh if mesh is not None else create_mesh()
-            ndev = int(self.mesh.devices.size)
-            if ndev > 1:
-                # fixed encode shape must split evenly over the data axis
-                self.batch_size = -(-self.batch_size // ndev) * ndev
+            ndata = int(self.mesh.shape[DATA_AXIS])
+            if ndata > 1:
+                # fixed encode shape must split evenly over the DATA axis
+                # (model-parallel extents don't constrain the batch)
+                self.batch_size = -(-self.batch_size // ndata) * ndata
                 self._batch_sharding = batch_sharding(self.mesh)
                 params = replicate_tree(params, self.mesh)
             else:

@@ -2,6 +2,7 @@
 full cli.run on the Dummy dataset, CPU)."""
 import json
 
+import pytest
 import yaml
 
 from iterated_learning_for_vlm_tpu.eval import cli as eval_cli
@@ -439,3 +440,15 @@ def test_no_normalize_does_not_leak_to_zeroshot(tmp_path, monkeypatch):
     flagged = eval_cli.main(["eval", "--model_config", cfg, "--dataset", "dummy",
                              "--batch_size", "8", "--no_normalize"])
     assert base["metrics"] == flagged["metrics"]
+
+
+def test_platform_flags_parse_and_validate():
+    """--platform/--cpu_devices mirror scripts/train.py (the env-var route
+    loses to device plugins; the config API is authoritative)."""
+    p = eval_cli.build_parser()
+    args = p.parse_args(["eval", "--model_config", "x.yaml", "--dataset",
+                         "dummy", "--platform", "cpu", "--cpu_devices", "8"])
+    assert args.platform == "cpu" and args.cpu_devices == 8
+    with pytest.raises(SystemExit):
+        eval_cli.main(["eval", "--model_config", "x.yaml", "--dataset",
+                       "dummy", "--cpu_devices", "8"])

@@ -293,6 +293,31 @@ def test_prefetch_producer_failure_propagates():
         next(it)
 
 
+def test_prefetch_abandoned_consumer_releases_producer():
+    """Breaking out of the prefetch stream mid-epoch (solver hitting
+    max_iter off an epoch boundary) must unblock the producer thread and
+    close the underlying loader, not leave both parked for the process
+    lifetime on a full queue."""
+    import threading
+
+    from iterated_learning_for_vlm_tpu.data.pipeline import prefetch_to_device
+
+    closed = threading.Event()
+
+    def loader():
+        try:
+            for i in range(100):
+                yield {"x": np.full((2,), i, np.float32)}
+        finally:
+            closed.set()
+
+    it = prefetch_to_device(loader(), mesh=None, size=2)
+    assert float(next(it)["x"][0]) == 0.0
+    it.close()  # what `break` in a for-loop does on GC / scope exit
+    # producer notices within its put-poll interval and closes the loader
+    assert closed.wait(timeout=5.0), "abandoned prefetch leaked the loader"
+
+
 @pytest.mark.slow
 def test_synced_buckets_two_process_cluster(tmp_path):
     """TRUE multi-host synced bucketing: two OS processes, host-sharded wds

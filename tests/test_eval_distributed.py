@@ -69,6 +69,24 @@ def test_distributed_encoder_rounds_batch_to_devices():
                                ref.encode_images(imgs), rtol=1e-5, atol=5e-6)
 
 
+def test_model_parallel_mesh_rounds_to_data_axis_only():
+    """On a dp×mp mesh the encode batch only needs to divide the DATA axis:
+    rounding by total device count would pad every chunk 4× wider than the
+    sharding requires."""
+    from iterated_learning_for_vlm_tpu.parallel.mesh import DATA_AXIS, create_mesh
+
+    model = CLIP(vision_cfg=V, text_cfg=T)
+    params = _init(model)
+    mesh = create_mesh(model_parallel=4)  # 8 devices -> data axis = 2
+    enc = JitEncoder(model, params, is_fdt=False, batch_size=5, mesh=mesh)
+    ndata = int(mesh.shape[DATA_AXIS])
+    assert ndata == 2 and enc.batch_size == 6  # not 8 (total devices)
+    imgs = _images(3, seed=3)
+    ref = JitEncoder(model, params, is_fdt=False, batch_size=4)
+    np.testing.assert_allclose(enc.encode_images(imgs),
+                               ref.encode_images(imgs), rtol=1e-5, atol=5e-6)
+
+
 def test_distributed_fdt_encoder_matches_single_device():
     """FDT path: codebook extract features under the sharded encode."""
     model = CLIPFDT(vision_cfg=V, text_cfg=T, fdt_cfg=F)
