@@ -88,6 +88,49 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
     }
 
 
+def probe_device(total_budget_s=None):
+    """Bounded device-liveness check before the (long) bench.
+
+    The TPU transport can die such that every device op blocks FOREVER with
+    no error (observed multi-hour tunnel outages — verify notes): an
+    unbounded bench would then hang the driver's end-of-round run.  Enqueue
+    one tiny fenced matmul from a worker thread; if it doesn't complete
+    within the budget (default 900 s, env ``BENCH_PROBE_BUDGET_S``), exit
+    non-zero with a diagnostic so the recorded bench result says *why*
+    there is no number, instead of hanging or printing a fake zero.
+    """
+    import threading
+
+    if total_budget_s is None:
+        total_budget_s = float(os.environ.get("BENCH_PROBE_BUDGET_S", "900"))
+    ok = threading.Event()
+
+    def _probe():
+        x = jnp.ones((128, 128), jnp.float32)
+        # host transfer is the only reliable fence over the RPC transport
+        if np.isfinite(float(jnp.sum(x @ x))):
+            ok.set()
+
+    # ONE probe thread: piling retries onto a stuck runtime cannot help
+    threading.Thread(target=_probe, daemon=True).start()
+    deadline = time.time() + total_budget_s
+    while True:
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            break
+        if ok.wait(timeout=min(60.0, remaining)):
+            return
+        print(f"bench: device probe still pending "
+              f"({max(0, int(deadline - time.time()))}s budget left)",
+              file=sys.stderr)
+    print(f"bench: device unreachable — the liveness probe (one 128x128 "
+          f"matmul) hung for {int(total_budget_s)}s. This is the known "
+          f"tunnel-outage signature (no error, infinite block); no "
+          f"throughput can be measured. Re-run when the device answers.",
+          file=sys.stderr)
+    os._exit(3)  # the hung runtime thread would block a normal exit
+
+
 def main(batch_size=256, steps=20, warmup=3, remat=False, fused=True, flash=False,
          unroll=True, fused_attn=True, fused_attn_group=2, fused_attn_text=None,
          fused_attn_text_group=2, fused_attn_sample_group=2,
@@ -221,6 +264,7 @@ if __name__ == "__main__":
                         "optimum; at S=77 g=2 x sg=4 measured 1959 vs 1976 "
                         "XLA same-process, so full-context text ships on XLA)")
     a = p.parse_args()
+    probe_device()
     try:
         main(batch_size=a.batch_size, steps=a.steps, remat=a.remat,
              fused=not a.no_fused, flash=a.flash, unroll=not a.no_unroll,
