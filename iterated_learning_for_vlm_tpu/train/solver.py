@@ -26,7 +26,7 @@ from ..data.pipeline import (
 from ..data.synthetic import SyntheticClipData
 from ..data.tokenizer import get_tokenizer
 from ..models import model_entry
-from ..parallel.mesh import create_mesh, replicate_tree
+from ..parallel.mesh import create_mesh
 from ..utils.config import Config
 from ..utils.logging import MetricsWriter, create_logger, get_logger
 from ..utils.meters import AverageMeter
@@ -96,7 +96,14 @@ class Solver:
         if is_main:
             config.dump_json(os.path.join(self.output_path, "config.json"))
 
-        self.mesh = mesh if mesh is not None else create_mesh()
+        # Launcher-reachable tensor parallelism: `parallel.model_parallel: N`
+        # carves an N-way `model` axis out of the mesh (Megatron-style MLP/
+        # QKV splits + row-sharded FDT codebook, parallel/sharding_rules.py).
+        # Default 1 = the reference's data-parallel-only strategy.
+        pcfg = config.get("parallel") or {}
+        model_parallel = int(pcfg.get("model_parallel", 1) or 1)
+        self.mesh = mesh if mesh is not None else create_mesh(
+            model_parallel=model_parallel)
         self.world_size = int(np.prod(list(self.mesh.shape.values())))
         self.is_fdt = "fdt" in config.model.type
         # Method-recipe dispatch (reference ships one solver per method,
@@ -199,7 +206,11 @@ class Solver:
             spectral_u = init_power_vectors(self.params, jax.random.PRNGKey(self.seed + 7))
         self.state = TrainState.create(self.params, opt_state, trainable, stored,
                                        spectral_u, batch_stats=self.batch_stats)
-        self.state = replicate_tree(self.state, self.mesh)
+        # shard_state == replicate_tree on a dp-only mesh; with a model axis
+        # it applies the tensor-parallel param/moment shardings
+        from ..parallel.sharding_rules import shard_state
+
+        self.state = shard_state(self.state, self.mesh)
         betas = kwargs.get("betas", [0.9, 0.98])
         self._adam_kw = dict(b1=float(betas[0]), b2=float(betas[1]),
                              eps=float(kwargs.get("eps", 1e-8)),

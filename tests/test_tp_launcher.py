@@ -1,0 +1,78 @@
+"""Launcher-reachable tensor parallelism.
+
+`parallel.model_parallel: N` in a training config carves an N-way `model`
+axis out of the solver's mesh and applies the Megatron-style param/moment
+shardings (parallel/sharding_rules.py) to the TrainState — previously that
+path was only exercised by __graft_entry__.dryrun_multichip and
+tools/mp_host_dryrun.py, not reachable from `scripts/train.py --config`.
+The reference has no TP at all (SURVEY §2.6) — this is scaling headroom,
+and it must train identically to the dp-only path.
+"""
+import numpy as np
+import pytest
+
+from iterated_learning_for_vlm_tpu.models import (
+    CLIPFDT, FDTConfig, TextConfig, VisionConfig, register_model,
+)
+from iterated_learning_for_vlm_tpu.parallel.mesh import MODEL_AXIS
+from iterated_learning_for_vlm_tpu.train.solver import Solver
+from iterated_learning_for_vlm_tpu.utils.config import Config
+
+V = VisionConfig(input_resolution=16, patch_size=8, width=32, layers=1, heads=2,
+                 embed_dim=16)
+T = TextConfig(context_length=16, width=32, heads=2, layers=1, embed_dim=16)
+F = FDTConfig(sd_num=32, sd_dim=16, raw_img_ft_dim=32, raw_txt_ft_dim=32,
+              sd_temperature=100.0, sparsemax_method="bisect")
+
+register_model("clip_fdt_tiny_tp_test",
+               lambda **kw: CLIPFDT(vision_cfg=V, text_cfg=T, fdt_cfg=F))
+
+
+def _config(model_parallel: int, max_iter: int = 3) -> Config:
+    return Config({
+        "model": {"type": "clip_fdt_tiny_tp_test", "kwargs": {}},
+        "parallel": {"model_parallel": model_parallel},
+        "optimizer": {
+            "type": "AdamW",
+            "kwargs": {"lr": 1e-3, "weight_decay": 0.1, "betas": [0.9, 0.98],
+                       "eps": 1e-8},
+            "pconfig": {"ln_w": {"weight_decay": 0}, "ln_b": {"weight_decay": 0},
+                        "bias": {"weight_decay": 0},
+                        "logit_scale": {"weight_decay": 0}},
+        },
+        "lr_scheduler": {"type": "Cosine", "kwargs": {
+            "base_lr": 1e-3, "warmup_lr": 2e-3, "min_lr": 0.0,
+            "warmup_steps": 2, "max_iter": max_iter}},
+        "data": {"train": {"synthetic": True, "batch_size": 16, "epoch": 1,
+                           "num_batches": max_iter, "workers": 0}},
+        "saver": {"print_freq": 1, "val_freq": 0, "save_freq": 0},
+        "reset": {"enable": False},
+    })
+
+
+def _losses(tmp_path, model_parallel):
+    solver = Solver(_config(model_parallel), output_path=str(tmp_path),
+                    exp_name=f"tp{model_parallel}", debug=True)
+    state = solver.train()
+    assert int(state.step) == 3
+    return solver, state
+
+
+@pytest.mark.slow
+def test_model_parallel_config_key_trains_identically(tmp_path):
+    s_dp, st_dp = _losses(tmp_path / "dp", 1)
+    s_tp, st_tp = _losses(tmp_path / "tp", 2)
+    # the config key actually carved a model axis
+    assert int(s_dp.mesh.shape[MODEL_AXIS]) == 1
+    assert int(s_tp.mesh.shape[MODEL_AXIS]) == 2
+    # codebook rows are sharded over it
+    sd = st_tp.params["space_dict"]
+    spec = sd.sharding.spec if hasattr(sd.sharding, "spec") else None
+    assert spec is not None and spec[0] == MODEL_AXIS, spec
+    # same data, same seed -> same trained params either way
+    for key in ("logit_scale", "logit_scale_sd"):
+        np.testing.assert_allclose(np.asarray(st_tp.params[key]),
+                                   np.asarray(st_dp.params[key]),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(st_dp.params["space_dict"]),
+                               rtol=1e-4, atol=1e-5)
