@@ -160,6 +160,25 @@ class ILController:
             return self.init_fn()
 
     # -- primitive operations ----------------------------------------------
+    @staticmethod
+    def _match_shardings(new_params: Any, old_params: Any) -> Any:
+        """Pin re-drawn leaves back onto the old leaves' shardings.
+
+        Freshly-drawn leaves have no sharded operand, so under tensor
+        parallelism (``parallel.model_parallel``) a reset would silently
+        come back replicated — changing the train step's input shardings
+        (recompile) and dropping the Megatron splits for the rest of the
+        run.  No-op on untouched leaves and on single-device runs."""
+        def put(n, o):
+            if n is o:
+                return n
+            sh = getattr(o, "sharding", None)
+            if sh is not None and getattr(sh, "mesh", None) is not None:
+                return jax.device_put(n, sh)
+            return n
+
+        return jax.tree.map(put, new_params, old_params)
+
     def reset_text_encoder(self, state: TrainState, step: int) -> TrainState:
         """Reference ``clip_fdt.py:256-261`` with deterministic seeding."""
         rng = jax.random.fold_in(self.base_rng, int(step))
@@ -167,6 +186,7 @@ class ILController:
         new_params, reset_mask = weight_reset_tree(
             state.params, TEXT_ROOTS, rng, self.cfg.semantics, fresh
         )
+        new_params = self._match_shardings(new_params, state.params)
         opt_state = state.opt_state
         if self.cfg.reset_optimizer_state:
             opt_state = reset_opt_state_for(opt_state, new_params, reset_mask)
@@ -179,6 +199,7 @@ class ILController:
         new_params, reset_mask = weight_reset_tree(
             state.params, VISION_ROOTS, rng, self.cfg.semantics, fresh
         )
+        new_params = self._match_shardings(new_params, state.params)
         opt_state = state.opt_state
         if self.cfg.reset_optimizer_state:
             opt_state = reset_opt_state_for(opt_state, new_params, reset_mask)
@@ -189,7 +210,11 @@ class ILController:
         rng = jax.random.fold_in(jax.random.fold_in(self.base_rng, int(step)), 2)
         sd = state.params["space_dict"]
         new_params = dict(state.params)
-        new_params["space_dict"] = jax.random.normal(rng, sd.shape, sd.dtype)
+        fresh_sd = jax.random.normal(rng, sd.shape, sd.dtype)
+        sh = getattr(sd, "sharding", None)
+        if sh is not None and getattr(sh, "mesh", None) is not None:
+            fresh_sd = jax.device_put(fresh_sd, sh)  # keep the row sharding
+        new_params["space_dict"] = fresh_sd
         return state.replace(params=new_params)
 
     def swap_vision_encoder(self, state: TrainState, step: int) -> TrainState:

@@ -28,8 +28,9 @@ register_model("clip_fdt_tiny_tp_test",
                lambda **kw: CLIPFDT(vision_cfg=V, text_cfg=T, fdt_cfg=F))
 
 
-def _config(model_parallel: int, max_iter: int = 3) -> Config:
+def _config(model_parallel: int, max_iter: int = 3, reset: dict = None) -> Config:
     return Config({
+        "reset": reset or {"enable": False},
         "model": {"type": "clip_fdt_tiny_tp_test", "kwargs": {}},
         "parallel": {"model_parallel": model_parallel},
         "optimizer": {
@@ -46,7 +47,6 @@ def _config(model_parallel: int, max_iter: int = 3) -> Config:
         "data": {"train": {"synthetic": True, "batch_size": 16, "epoch": 1,
                            "num_batches": max_iter, "workers": 0}},
         "saver": {"print_freq": 1, "val_freq": 0, "save_freq": 0},
-        "reset": {"enable": False},
     })
 
 
@@ -76,3 +76,34 @@ def test_model_parallel_config_key_trains_identically(tmp_path):
                                    rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sd), np.asarray(st_dp.params["space_dict"]),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_il_reset_preserves_tp_shardings(tmp_path):
+    """A reset re-draws leaves with no sharded operand; without re-pinning
+    (ILEngine._match_shardings) the text tower would come back replicated —
+    recompiling the step and dropping the Megatron splits for the rest of
+    the run."""
+    from iterated_learning_for_vlm_tpu.parallel.sharding_rules import param_shardings
+
+    cfg = _config(2, max_iter=4,
+                  reset={"enable": True, "reset_steps": 2, "reset_nums": 3,
+                         "smooth_steps": 1, "semantics": "reference",
+                         "reset_optimizer_state": True,
+                         "freeze_vision_during_smooth": True})
+    solver = Solver(cfg, output_path=str(tmp_path), exp_name="tp_il", debug=True)
+    state = solver.train()
+    assert int(state.step) == 4  # reset fired after step 4 (2 < 4 < 6)
+    expected = param_shardings(state.params, solver.mesh)
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(state.params)
+    exp_flat = traverse_util.flatten_dict(expected)
+    checked = 0
+    for path, leaf in flat.items():
+        spec = exp_flat[path].spec
+        if MODEL_AXIS not in str(spec):
+            continue
+        assert getattr(leaf.sharding, "spec", None) == spec, (path, leaf.sharding)
+        checked += 1
+    assert checked >= 3  # codebook + reset-scope tp kernels were re-pinned
