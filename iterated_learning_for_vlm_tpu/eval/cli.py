@@ -26,7 +26,7 @@ import re
 import sys
 
 
-def _load_encoder(args):
+def _load_encoder(args, language="en"):
     from .model_loader import load_eval_encoder
 
     ckpt = args.pretrained
@@ -40,7 +40,8 @@ def _load_encoder(args):
                              model_type=getattr(args, "model_type", "cust_clip"),
                              amp=getattr(args, "amp", True),
                              num_workers=getattr(args, "num_workers", 4),
-                             data_parallel=getattr(args, "distributed", False))
+                             data_parallel=getattr(args, "distributed", False),
+                             language=language)
 
 
 def _dump(args, dataset, task, metrics, language="en", extra=None):
@@ -122,7 +123,9 @@ def _expand_pretrained_models(entries):
 
 
 def cmd_eval(args):
-    if not args.model_config and not getattr(args, "pretrained_model", None):
+    hf_type = getattr(args, "model_type", "cust_clip") in ("ja_clip", "nllb_clip")
+    if not args.model_config and not getattr(args, "pretrained_model", None) \
+            and not hf_type:  # HF types: --pretrained IS the model
         raise SystemExit("eval needs --model_config or --pretrained_model")
     if getattr(args, "pretrained_model", None):
         import copy
@@ -189,7 +192,9 @@ def cmd_eval(args):
                       and probe_cache_complete(probe_prefix,
                                                include_val=bool(args.val_split)))
         if encoder is None and not skip_model:
-            encoder = _load_encoder(args)
+            encoder = _load_encoder(args, language=language)
+        if encoder is not None and hasattr(encoder, "set_language"):
+            encoder.set_language(language)  # nllb_clip src-lang per language
         ds = apply_language(ds, language, lang_root=args.language_root or None)
         custom_names = _custom_override(args.custom_classname_file, dataset)
         if custom_names:
@@ -354,15 +359,21 @@ def build_parser():
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp, config_required=True):
-        sp.add_argument("--model_config", required=config_required)
+        # model_config requiredness is validated in main(): required for
+        # cust_clip / open_clip, unused for the HF-directory types
+        # (ja_clip/nllb_clip, where --pretrained IS the model definition)
+        sp.add_argument("--model_config", required=False, default=None)
+        sp.set_defaults(_config_required=config_required)
         sp.add_argument("--model_type", default="cust_clip",
-                        choices=["cust_clip", "open_clip"],
+                        choices=["cust_clip", "open_clip", "ja_clip",
+                                 "nllb_clip"],
                         help="reference TYPE2FUNC surface (models/__init__.py:8-13)."
                              " cust_clip: this framework's / reference training"
                              " checkpoints; open_clip: local OpenAI/open_clip"
-                             " .pt state dicts (layout auto-converted)."
-                             " ja_clip is not supported: it loads a"
-                             " network-hosted HF BERT text tower.")
+                             " .pt state dicts (layout auto-converted);"
+                             " ja_clip / nllb_clip: a LOCAL HF save_pretrained"
+                             " directory passed via --pretrained (zero-egress"
+                             " stand-in for the reference's network loaders).")
         sp.add_argument("--pretrained", default=None,
                         help="checkpoint dir; comma-separated list = weight soup")
         sp.add_argument("--batch_size", type=int, default=64)
@@ -504,8 +515,16 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
-    if getattr(args, "cpu_devices", None) and not getattr(args, "platform", None):
+    if getattr(args, "cpu_devices", None) and getattr(args, "platform", None) != "cpu":
         build_parser().error("--cpu_devices only applies with --platform cpu")
+    hf_type = getattr(args, "model_type", "cust_clip") in ("ja_clip", "nllb_clip")
+    if getattr(args, "_config_required", False) and not hf_type \
+            and not getattr(args, "model_config", None):
+        build_parser().error("--model_config is required for "
+                             f"--model_type {getattr(args, 'model_type', 'cust_clip')}")
+    if hf_type and not getattr(args, "pretrained", None):
+        build_parser().error("--model_type ja_clip/nllb_clip needs --pretrained "
+                             "pointing at a local HF save_pretrained directory")
     if getattr(args, "platform", None):
         # before first device use — authoritative over env vars, which
         # device plugins can override (scripts/train.py does the same)

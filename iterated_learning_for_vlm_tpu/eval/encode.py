@@ -96,14 +96,19 @@ class JitEncoder:
                 DATA_AXIS, batch_sharding, create_mesh, replicate_tree,
             )
 
-            if jax.process_count() > 1:
-                # the mesh below spans non-addressable devices and the plain
-                # device_put in _put would fail on their shards — eval never
-                # needs a pod (the training mesh path covers multi-host)
-                raise ValueError(
-                    "data-parallel eval is single-process only; run eval on "
-                    "one host (training handles multi-host meshes)")
             self.mesh = mesh if mesh is not None else create_mesh()
+            if jax.process_count() > 1:
+                # plain device_put in _put fails on shards placed on
+                # NON-ADDRESSABLE devices.  Only reject meshes that actually
+                # contain such devices — a caller-provided mesh built from
+                # jax.local_devices() works fine even on a pod.
+                local = set(jax.local_devices())
+                if any(d not in local for d in self.mesh.devices.flat):
+                    raise ValueError(
+                        "data-parallel eval needs a locally-addressable mesh; "
+                        "pass mesh=create_mesh(devices=jax.local_devices()) "
+                        "or run eval on one host (training handles "
+                        "multi-host meshes)")
             ndata = int(self.mesh.shape[DATA_AXIS])
             if ndata > 1:
                 # fixed encode shape must split evenly over the DATA axis

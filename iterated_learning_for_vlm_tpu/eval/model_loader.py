@@ -53,6 +53,7 @@ def load_eval_encoder(
     normalize: bool = True,
     num_workers: int = 4,
     data_parallel: bool = False,
+    language: str = "en",
 ) -> JitEncoder:
     """checkpoint may be a path, a list of paths (averaged soup), or None
     (random init, for smoke tests).
@@ -62,6 +63,20 @@ def load_eval_encoder(
     checkpoint trained with T-decay would otherwise be scored at the config's
     initial T (1000) instead of the final decayed value."""
     import copy as _copy
+
+    if model_type in ("ja_clip", "nllb_clip"):
+        # third-party HF dual-encoders from a LOCAL weights dir (reference
+        # TYPE2FUNC ja_clip/nllb_clip, network-free) — the model config is
+        # the HF directory itself, so ``config`` is unused here
+        from .hf_adapter import HFClipEncoder
+
+        if not checkpoint or isinstance(checkpoint, (list, tuple)):
+            raise ValueError(
+                f"--model_type {model_type} needs --pretrained pointing at "
+                "ONE local HF save_pretrained directory")
+        return HFClipEncoder(str(checkpoint), model_type=model_type,
+                             batch_size=batch_size, normalize=normalize,
+                             language=language)
 
     # deep-copy Config inputs: the amp/sd_temperature overrides below mutate
     # model kwargs, and a caller-held Config must not silently change

@@ -146,6 +146,32 @@ def clip_fdt_swinB_v2(**kw):
     return _clip_fdt(swin_b_v2, text_base, kw)
 
 
+def clip_swin_yaml(**kw):
+    """CLIP with a Swin tower described by a Microsoft-Swin-schema YAML —
+    the whole vendored config surface (reference
+    ``prototype/model/swin/configs/**``, 40 files, built there by
+    ``swin/build.py:14``) becomes reachable without a per-file factory:
+
+    .. code-block:: yaml
+
+        model:
+          type: clip_swin_yaml
+          kwargs:
+            image_encode:
+              config_file: path/to/swinv2_base_patch4_window8_256.yaml
+              embed_dim: 512
+    """
+    from .swin import _override, swin_config_from_yaml
+
+    def factory(config_file, embed_dim=512, **img_kw):
+        # _override filters to SwinConfig fields (drops the tower-generic
+        # knobs _common injects, e.g. use_flash), same as the other factories
+        return _override(swin_config_from_yaml(config_file, embed_dim=embed_dim),
+                         img_kw)
+
+    return _clip(factory, text_base, kw)
+
+
 # Spectral-norm variants (reference CLIP_sp / Clip_FDT_SP): same module graph;
 # the spectral reparameterisation is applied in the train step
 # (train/step.py spectral_norm=True) / at load time for eval
@@ -198,6 +224,7 @@ _REGISTRY = {
     "clip_swinL_v2": clip_swinL_v2,
     "clip_swinMoE_B": clip_swinMoE_B,
     "clip_swinMLP_B": clip_swinMLP_B,
+    "clip_swin_yaml": clip_swin_yaml,
     "clip_fdt_vitb32": clip_fdt_vitb32,
     "clip_fdt_vitb16": clip_fdt_vitb16,
     "clip_fdt_swinB_v2": clip_fdt_swinB_v2,

@@ -19,7 +19,7 @@ block, which XLA maps straight onto the MXU.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import numpy as np
 
@@ -55,6 +55,10 @@ class SwinConfig:
     # window token-mix is a per-head linear map over window positions and the
     # shifted blocks zero-pad instead of roll+mask.
     mlp_mix: bool = False
+    # Explicit per-stage MoE block indices (reference MOE_BLOCKS, e.g.
+    # ((-1,), (-1,), (1, 3, 5), (1,)) — -1 / absent = dense).  When set it
+    # overrides the moe_stages odd-block rule; used by the YAML translator.
+    moe_blocks: Optional[Tuple[Tuple[int, ...], ...]] = None
 
 
 def _window_partition(x, ws):
@@ -373,8 +377,12 @@ class SwinTransformer(nn.Module):
         moe_aux = jnp.zeros((), jnp.float32)
         for stage, depth in enumerate(cfg.depths):
             for blk in range(depth):
-                is_moe = (cfg.num_experts > 0 and stage in cfg.moe_stages
-                          and blk % 2 == 1)
+                if cfg.moe_blocks is not None:
+                    is_moe = (cfg.num_experts > 0
+                              and blk in cfg.moe_blocks[stage])
+                else:
+                    is_moe = (cfg.num_experts > 0 and stage in cfg.moe_stages
+                              and blk % 2 == 1)
                 x, aux = SwinBlock(
                     dim=dim, heads=cfg.num_heads[stage], resolution=res,
                     window_size=cfg.window_size,
@@ -443,6 +451,84 @@ def swin_mlp_b(embed_dim=512, **kw) -> SwinConfig:
     return _override(SwinConfig(embed_dim=128, depths=(2, 2, 18, 2),
                                 num_heads=(4, 8, 16, 32),
                                 v2=False, output_dim=embed_dim, mlp_mix=True), kw)
+
+
+_YAML_VARIANTS = {
+    # MODEL.TYPE -> (variant section key, config flags)
+    "swin": ("SWIN", {"v2": False}),
+    "swinv2": ("SWINV2", {"v2": True}),
+    "swin_moe": ("SWIN_MOE", {"v2": False}),
+    "swin_mlp": ("SWIN_MLP", {"v2": False, "mlp_mix": True}),
+}
+
+
+def swin_config_from_yaml(source, embed_dim: int = 512,
+                          moe_devices: Optional[int] = None,
+                          **kw) -> SwinConfig:
+    """Translate a Microsoft-Swin-schema YAML into a :class:`SwinConfig`.
+
+    Covers the reference's vendored config surface —
+    ``prototype/model/swin/configs/{swin,swinv2,swinmoe,swinmlp}/*.yaml``
+    (40 files), consumed there by ``build.py:14`` + the yacs defaults in
+    ``swin/config.py``.  ``source`` is a YAML path or an already-parsed
+    mapping.  Architecture fields map 1:1:
+
+    - ``DATA.IMG_SIZE`` -> ``input_resolution``
+    - ``MODEL.TYPE`` -> v1/v2/MoE/MLP variant
+    - ``MODEL.<VARIANT>.{PATCH_SIZE, EMBED_DIM, DEPTHS, NUM_HEADS,
+      WINDOW_SIZE, MLP_RATIO}`` -> same-named fields
+    - ``MOE_BLOCKS`` -> ``moe_blocks`` (explicit per-stage expert placement)
+    - ``TOP_VALUE`` -> ``moe_top_k``; ``CAPACITY_FACTOR`` -> same
+    - ``NUM_LOCAL_EXPERTS``: Tutel semantics — positive = experts per
+      device, negative ``-k`` = one expert shared by k devices; total
+      experts = ``moe_devices * v`` or ``moe_devices // k`` (defaults to
+      ``jax.device_count()``, the SPMD stand-in for the configs' hardcoded
+      32-GPU clusters)
+
+    Training-regularization knobs with no architecture effect are accepted
+    and ignored: DROP_PATH_RATE / DROP_RATE (stochastic-depth/dropout —
+    train-time only), INIT_STD, MOE_DROP, MLP_FC2_BIAS, IS_GSHARD_LOSS,
+    COSINE_ROUTER*, NORM_IN_MOE, AUX_LOSS_WEIGHT (ours is a loss-side
+    scale), and PRETRAINED_WINDOW_SIZES (finetune-time CPB re-interpolation
+    of torch checkpoints).  ``**kw`` applies final SwinConfig overrides.
+    """
+    if isinstance(source, (str, bytes)) or hasattr(source, "read"):
+        import yaml
+
+        with open(source) as f:  # type: ignore[arg-type]
+            raw = yaml.safe_load(f)
+    else:
+        raw = dict(source)
+    model = raw.get("MODEL", {})
+    mtype = str(model.get("TYPE", "swin")).lower()
+    if mtype not in _YAML_VARIANTS:
+        raise ValueError(f"unknown Swin MODEL.TYPE {mtype!r} "
+                         f"(expected one of {sorted(_YAML_VARIANTS)})")
+    section_key, flags = _YAML_VARIANTS[mtype]
+    sec = model.get(section_key, {})
+
+    fields: dict = dict(flags, output_dim=embed_dim)
+    fields["input_resolution"] = int(raw.get("DATA", {}).get("IMG_SIZE", 224))
+    fields["patch_size"] = int(sec.get("PATCH_SIZE", 4))
+    fields["embed_dim"] = int(sec.get("EMBED_DIM", 96))
+    fields["depths"] = tuple(sec.get("DEPTHS", (2, 2, 6, 2)))
+    fields["num_heads"] = tuple(sec.get("NUM_HEADS", (3, 6, 12, 24)))
+    fields["window_size"] = int(sec.get("WINDOW_SIZE", 7))
+    fields["mlp_ratio"] = float(sec.get("MLP_RATIO", 4.0))
+
+    if mtype == "swin_moe":
+        n_dev = moe_devices if moe_devices is not None else jax.device_count()
+        local = int(sec.get("NUM_LOCAL_EXPERTS", 1))
+        fields["num_experts"] = max(
+            1, n_dev * local if local > 0 else n_dev // -local)
+        fields["moe_top_k"] = int(sec.get("TOP_VALUE", 1))
+        fields["capacity_factor"] = float(sec.get("CAPACITY_FACTOR", 1.25))
+        blocks = sec.get("MOE_BLOCKS")
+        if blocks is not None:
+            fields["moe_blocks"] = tuple(
+                tuple(b for b in stage if b >= 0) for stage in blocks)
+    fields.update(kw)
+    return SwinConfig(**fields)
 
 
 def swin_moe_b(embed_dim=512, num_experts=8, moe_top_k=1, capacity_factor=1.25,

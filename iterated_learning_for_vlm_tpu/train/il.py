@@ -168,13 +168,22 @@ class ILController:
         parallelism (``parallel.model_parallel``) a reset would silently
         come back replicated — changing the train step's input shardings
         (recompile) and dropping the Megatron splits for the rest of the
-        run.  No-op on untouched leaves and on single-device runs."""
+        run.  No-op on untouched leaves and on single-device runs.
+
+        The re-pin goes through ``parallel.mesh.put_global`` rather than
+        plain ``jax.device_put``: on a multi-host pod the old leaf's
+        sharding spans non-addressable devices and ``device_put`` onto it
+        fails — ``put_global`` materializes per-process shards from the
+        (deterministically seeded, hence identical-on-every-host) fresh
+        draw, which is exactly its contract (``parallel/mesh.py:53``)."""
+        from iterated_learning_for_vlm_tpu.parallel.mesh import put_global
+
         def put(n, o):
             if n is o:
                 return n
             sh = getattr(o, "sharding", None)
             if sh is not None and getattr(sh, "mesh", None) is not None:
-                return jax.device_put(n, sh)
+                return put_global(n, sh)
             return n
 
         return jax.tree.map(put, new_params, old_params)
@@ -213,7 +222,10 @@ class ILController:
         fresh_sd = jax.random.normal(rng, sd.shape, sd.dtype)
         sh = getattr(sd, "sharding", None)
         if sh is not None and getattr(sh, "mesh", None) is not None:
-            fresh_sd = jax.device_put(fresh_sd, sh)  # keep the row sharding
+            # put_global, not device_put: works when the codebook's row
+            # sharding spans non-addressable devices (multi-host pod).
+            from iterated_learning_for_vlm_tpu.parallel.mesh import put_global
+            fresh_sd = put_global(fresh_sd, sh)  # keep the row sharding
         new_params["space_dict"] = fresh_sd
         return state.replace(params=new_params)
 

@@ -402,13 +402,23 @@ class Solver:
 
         done = False
         end = time.time()
+        # Resume skips fully-consumed epochs: the reference threads last_iter
+        # into the wds sizing for the same reason (train_solver.py:257-266).
+        # Granularity is per-epoch, matching the reference: an epoch-boundary
+        # checkpoint resumes bit-deterministically (set_epoch(start_epoch)
+        # re-keys detshuffle identically); a mid-epoch resume replays that
+        # epoch's stream from its start.
+        start_epoch = (
+            self._last_iter // self.num_batches_per_epoch
+            if self.num_batches_per_epoch else 0
+        )
         # Per-step metric scalars are *device arrays* appended here without
         # syncing (dispatch is async); they are drained to host at log
         # boundaries.  This keeps the reference's every-step loss-crash check
         # (example/clip train_solver.py:415-418) without a per-step device
         # sync in the hot loop.
         pending: list = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             if done:
                 break
             for batch in self._batches(epoch):

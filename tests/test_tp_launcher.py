@@ -101,9 +101,13 @@ def test_il_reset_preserves_tp_shardings(tmp_path):
     exp_flat = traverse_util.flatten_dict(expected)
     checked = 0
     for path, leaf in flat.items():
-        spec = exp_flat[path].spec
-        if MODEL_AXIS not in str(spec):
+        exp_sharding = exp_flat[path]
+        if MODEL_AXIS not in str(exp_sharding.spec):
             continue
-        assert getattr(leaf.sharding, "spec", None) == spec, (path, leaf.sharding)
+        # Compare PHYSICAL layouts, not spec strings: JAX normalizes trailing
+        # P(..., None) away after computation, so P('model',) == P('model', None)
+        # for a 2-d leaf even though the spec objects differ.
+        assert leaf.sharding.is_equivalent_to(exp_sharding, leaf.ndim), (
+            path, leaf.sharding, exp_sharding)
         checked += 1
     assert checked >= 3  # codebook + reset-scope tp kernels were re-pinned

@@ -14,16 +14,17 @@ import bench  # noqa: E402
 
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    # Pin the text-attention path IDENTICAL across both runs (bench.main's
+    # Pin the text-attention path IDENTICAL across both runs (bench's
     # shape-aware default would flip fused_attn_text between 77 and 32,
     # conflating the bucketing win with the kernel win — which
     # tools/text_attn_ctx32_ab.py measures separately).
     fixed = dict(batch_size=256, steps=steps,
                  fused_attn_text=False, fused_attn_text_sample_group=2)
+    import json
     print("ctx=77 (reference full context):", flush=True)
-    bench.main(ctx=77, **fixed)
+    print(json.dumps({"pairs_per_sec": round(bench.measure(ctx=77, **fixed), 2)}), flush=True)
     print("ctx=32 (CC3M bucket):", flush=True)
-    bench.main(ctx=32, **fixed)
+    print(json.dumps({"pairs_per_sec": round(bench.measure(ctx=32, **fixed), 2)}), flush=True)
 
 
 if __name__ == "__main__":

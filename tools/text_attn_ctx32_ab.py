@@ -33,7 +33,9 @@ def main():
     ]
     for label, kw in configs:
         print(f"ctx=32, {label}:", flush=True)
-        bench.main(batch_size=256, steps=steps, ctx=32, **kw)
+        import json
+        pps = bench.measure(batch_size=256, steps=steps, ctx=32, **kw)
+        print(json.dumps({"pairs_per_sec": round(pps, 2)}), flush=True)
 
 
 if __name__ == "__main__":
