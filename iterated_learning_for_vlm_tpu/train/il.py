@@ -188,6 +188,14 @@ class ILController:
 
         return jax.tree.map(put, new_params, old_params)
 
+    def _pin_mask(self, reset_mask: Any, state: TrainState) -> Any:
+        """Reset-mask scalars are freshly drawn host-local arrays; before
+        they meet the (global) optimizer moments in ``jnp.where`` on a pod
+        they must live on the state's mesh (replicated — same re-pin as
+        ``_match_shardings``, keyed off any replicated state scalar)."""
+        return jax.tree.map(
+            lambda m: self._match_shardings(m, state.hold_codebook), reset_mask)
+
     def reset_text_encoder(self, state: TrainState, step: int) -> TrainState:
         """Reference ``clip_fdt.py:256-261`` with deterministic seeding."""
         rng = jax.random.fold_in(self.base_rng, int(step))
@@ -198,7 +206,8 @@ class ILController:
         new_params = self._match_shardings(new_params, state.params)
         opt_state = state.opt_state
         if self.cfg.reset_optimizer_state:
-            opt_state = reset_opt_state_for(opt_state, new_params, reset_mask)
+            opt_state = reset_opt_state_for(opt_state, new_params,
+                                            self._pin_mask(reset_mask, state))
         return state.replace(params=new_params, opt_state=opt_state)
 
     def reset_vision_encoder(self, state: TrainState, step: int) -> TrainState:
@@ -211,7 +220,8 @@ class ILController:
         new_params = self._match_shardings(new_params, state.params)
         opt_state = state.opt_state
         if self.cfg.reset_optimizer_state:
-            opt_state = reset_opt_state_for(opt_state, new_params, reset_mask)
+            opt_state = reset_opt_state_for(opt_state, new_params,
+                                            self._pin_mask(reset_mask, state))
         return state.replace(params=new_params, opt_state=opt_state)
 
     def reset_codebook(self, state: TrainState, step: int) -> TrainState:
@@ -244,21 +254,30 @@ class ILController:
         return state
 
     def set_frozen(self, state: TrainState, frozen_groups: frozenset) -> TrainState:
+        # _match_shardings: trainable_mask_tree draws fresh HOST-LOCAL
+        # scalars (SingleDeviceSharding); on a pod Orbax refuses to
+        # serialize those ("Cannot serialize host local jax.Array") — found
+        # by tools/mh_full_drill.py at the first smooth-end transition.
         return state.replace(
-            trainable=trainable_mask_tree(state.params, frozen_groups)
+            trainable=self._match_shardings(
+                trainable_mask_tree(state.params, frozen_groups),
+                state.trainable)
         )
 
     def snapshot_codebook(self, state: TrainState) -> TrainState:
         # jnp.copy: stored_codebook must NOT alias params["space_dict"] — the
         # train step donates the state, and a buffer appearing twice in a
-        # donated pytree is a use-after-free.
+        # donated pytree is a use-after-free.  (The copy keeps space_dict's
+        # mesh sharding; the fresh hold flag is re-pinned like set_frozen.)
         return state.replace(
             stored_codebook=jnp.copy(state.params["space_dict"]),
-            hold_codebook=jnp.ones((), jnp.float32),
+            hold_codebook=self._match_shardings(
+                jnp.ones((), jnp.float32), state.hold_codebook),
         )
 
     def release_codebook(self, state: TrainState) -> TrainState:
-        return state.replace(hold_codebook=jnp.zeros((), jnp.float32))
+        return state.replace(hold_codebook=self._match_shardings(
+            jnp.zeros((), jnp.float32), state.hold_codebook))
 
     # -- the schedule --------------------------------------------------------
     def on_step(self, state: TrainState, step: int) -> TrainState:
