@@ -101,8 +101,15 @@ def main():
         base_cfg = yaml.safe_load(f)
     t_decay = base_cfg["t_decay"]
     os.makedirs(args.out, exist_ok=True)
-    result = {"config": args.config, "data": args.data, "arms": {}}
     dest = os.path.join(REPO, "results", "il_effectiveness_ab.json")
+    # merge with prior invocations: arms can be run/re-run one at a time
+    result = {"config": args.config, "data": args.data, "arms": {}}
+    if os.path.isfile(dest):
+        try:
+            prior = json.load(open(dest))
+            result["arms"].update(prior.get("arms", {}))
+        except Exception:
+            pass
 
     for name in args.arms.split(","):
         spec = ARMS[name]
