@@ -407,7 +407,15 @@ class Solver:
         # Granularity is per-epoch, matching the reference: an epoch-boundary
         # checkpoint resumes bit-deterministically (set_epoch(start_epoch)
         # re-keys detshuffle identically); a mid-epoch resume replays that
-        # epoch's stream from its start.
+        # epoch's stream from its start.  The loop still grants `epochs`
+        # passes from the resume point (reference semantics: resume runs the
+        # REMAINING iteration budget), so total_step governs the stop.
+        if self._last_iter >= total_step:
+            # reference main() skips training when last_iter >= max_iter
+            # (train_solver.py:744-747)
+            self.logger.info("resume step %d >= total_step %d: nothing to do",
+                             self._last_iter, total_step)
+            return self.state
         start_epoch = (
             self._last_iter // self.num_batches_per_epoch
             if self.num_batches_per_epoch else 0
@@ -418,7 +426,7 @@ class Solver:
         # (example/clip train_solver.py:415-418) without a per-step device
         # sync in the hot loop.
         pending: list = []
-        for epoch in range(start_epoch, epochs):
+        for epoch in range(start_epoch, start_epoch + epochs):
             if done:
                 break
             for batch in self._batches(epoch):
