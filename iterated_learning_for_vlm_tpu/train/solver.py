@@ -286,6 +286,9 @@ class Solver:
         sched_cfg = Config(self.config.lr_scheduler.to_dict())
         reset_cfg = self.config.get("reset", {}) or {}
         sched_cfg.kwargs.reset_steps = int(reset_cfg.get("reset_steps", 0)) if reset_cfg.get("enable", False) else 0
+        # step-executable cache key for reinitialize(): the schedule is the
+        # only thing that differs between IL and no-IL arms
+        self._sched_key = int(sched_cfg.kwargs.reset_steps)
         self.lr_schedule = scheduler_entry(sched_cfg)
         self.max_iter = int(self.config.lr_scheduler.kwargs.get("max_iter", 0))
 
@@ -356,13 +359,77 @@ class Solver:
             logger=self.logger,
         )
 
+    def reinitialize(self, seed: int, output_path: Optional[str] = None,
+                     exp_name: str = "run", reset_enable: Optional[bool] = None):
+        """Re-draw params/optimizer/data from a new seed WITHOUT rebuilding
+        the jitted train step (params/batches are traced arguments, so the
+        compiled executable is reused).  Sweeping matched-seed arms in one
+        process (tools/il_effectiveness_ab.py: 10 arms) costs ONE remote
+        compile instead of one per arm.  ``reset_enable`` flips the IL
+        schedule between arms (the step function is identical either way —
+        IL transitions are host-side tree swaps)."""
+        self.seed = seed
+        if reset_enable is not None:
+            self.config.reset["enable"] = bool(reset_enable)
+        rng = jax.random.PRNGKey(seed)
+        variables = (self._init_fn(rng) if self.batch_stats is None
+                     else None)
+        if variables is None:
+            raise NotImplementedError(
+                "reinitialize does not thread BN batch_stats; BN towers "
+                "(ResNet) must build a fresh Solver per seed")
+        self.params = variables
+        self._build_optimizer()
+        self._build_data()
+        self._build_il()
+        # the jitted step closes over the LR schedule, which differs between
+        # IL (re-warmup) and no-IL arms: cache one step executable per
+        # schedule flavor, so a 2-flavor sweep compiles exactly twice
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = {self._sched_key: (self.train_step, self.eval_step,
+                                       self.lr_schedule)}
+        rcfg = self.config.get("reset", {}) or {}
+        key = int(rcfg.get("reset_steps", 0)) if rcfg.get("enable", False) else 0
+        if key not in cache:
+            self._build_lr_scheduler()
+            cache[key] = (self.train_step, self.eval_step, self.lr_schedule)
+        else:
+            self.train_step, self.eval_step, self.lr_schedule = cache[key]
+            self._sched_key = key
+        self._step_cache = cache
+        self._last_iter = 0
+        if output_path is not None:
+            reset_cfg = self.config.get("reset", {}) or {}
+            exp = (f"{exp_name}_Reset_{reset_cfg.get('enable', False)}"
+                   f"_steps_{reset_cfg.get('reset_steps', 0)}"
+                   f"_smooth_{reset_cfg.get('smooth_steps', 0)}")
+            self.output_path = os.path.join(output_path, exp)
+            self.save_path = os.path.join(self.output_path, "checkpoints")
+            self.result_path = os.path.join(self.output_path, "results")
+            for p in (self.output_path, self.save_path, self.result_path):
+                os.makedirs(p, exist_ok=True)
+        return self
+
     # -- loop ----------------------------------------------------------------
-    def _batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def _batches(self, epoch: int, skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         if self._synthetic is not None:
             it = iter(self._synthetic)
         else:
             self.train_data.set_epoch(epoch)
             it = self.train_data.dataloader
+        if skip:
+            # Deterministic skip-into-epoch for mid-epoch resume: the epoch
+            # stream is (seed, epoch)-keyed (detshuffle + per-sample augment
+            # seeds drawn in stream order), so dropping the first `skip`
+            # HOST-side batches reproduces bit-exactly the batches the
+            # pre-checkpoint run saw from this point on.  Skipped batches
+            # never reach prefetch_to_device (no device transfer); the host
+            # still decodes them — the price of keeping the augment/shuffle
+            # RNG streams aligned with the original epoch.
+            import itertools
+
+            it = itertools.islice(it, skip, None)
         it = prefetch_to_device(it, self.mesh, size=2)
         if self._sync_buckets:
             # one-batch-lookahead cross-host bucket agreement, dispatched
@@ -404,11 +471,14 @@ class Solver:
         end = time.time()
         # Resume skips fully-consumed epochs: the reference threads last_iter
         # into the wds sizing for the same reason (train_solver.py:257-266).
-        # Granularity is per-epoch, matching the reference: an epoch-boundary
-        # checkpoint resumes bit-deterministically (set_epoch(start_epoch)
-        # re-keys detshuffle identically); a mid-epoch resume replays that
-        # epoch's stream from its start.  The loop still grants `epochs`
-        # passes from the resume point (reference semantics: resume runs the
+        # A mid-epoch resume deterministically SKIPS INTO the epoch (the
+        # reference can only replay the epoch from its start — its wds
+        # granularity is per-epoch): the resume epoch's stream is re-keyed
+        # identically by set_epoch(start_epoch) and its first
+        # ``last_iter % num_batches_per_epoch`` batches are dropped host-side
+        # (see _batches), so the post-resume batch sequence is bit-identical
+        # to the uninterrupted run's.  The loop still grants `epochs` passes
+        # from the resume point (reference semantics: resume runs the
         # REMAINING iteration budget), so total_step governs the stop.
         if self._last_iter >= total_step:
             # reference main() skips training when last_iter >= max_iter
@@ -420,16 +490,28 @@ class Solver:
             self._last_iter // self.num_batches_per_epoch
             if self.num_batches_per_epoch else 0
         )
+        resume_skip = (
+            self._last_iter % self.num_batches_per_epoch
+            if self.num_batches_per_epoch else 0
+        )
+        if resume_skip:
+            self.logger.info(
+                "mid-epoch resume: skipping the first %d batches of epoch %d "
+                "(deterministic skip-into-epoch)", resume_skip, start_epoch)
         # Per-step metric scalars are *device arrays* appended here without
         # syncing (dispatch is async); they are drained to host at log
         # boundaries.  This keeps the reference's every-step loss-crash check
         # (example/clip train_solver.py:415-418) without a per-step device
         # sync in the hot loop.
         pending: list = []
-        for epoch in range(start_epoch, start_epoch + epochs):
+        # a partial resume epoch contributes fewer batches; grant one more
+        # epoch so the remaining-budget semantics still reach total_step
+        for epoch in range(start_epoch, start_epoch + epochs + (1 if resume_skip else 0)):
             if done:
                 break
-            for batch in self._batches(epoch):
+            for batch in self._batches(
+                epoch, skip=resume_skip if epoch == start_epoch else 0
+            ):
                 meters["data_time"].update(time.time() - end)
                 step += 1
                 temperature = fdt_temperature(step, t_decay, default_T) if self.is_fdt else 0.0
