@@ -377,6 +377,45 @@ def build_ml_retrieval(dir_path: str, name: str, language: str,
                        images=images, captions_per_image=captions)
 
 
+def build_babel_imagenet(root: str, language: str, split: str = "test") -> EvalDataset:
+    """Babel-ImageNet: the per-language ImageNet class subset benchmark
+    (reference ``datasets/builder.py:125-137`` + ``datasets/babel_imagenet.py``;
+    tables from gregor-ge/Babel-ImageNet, shipped verbatim in
+    ``eval/languages/``).  ``babel_imagenet.json`` maps ``LANG -> [idxs,
+    classnames]`` — the ImageNet class indices that language covers —
+    and ``nllb_dist13b_prompts.json`` maps ``LANG`` to NLLB-translated
+    prompt templates.  ``root`` is a local imagenet layout (wds-protocol dir
+    or class folders); samples outside the language's classes are dropped and
+    labels are re-indexed into the subset, exactly as the reference's
+    ``BabelImageNet.__getitem__`` does."""
+    lang_dir = os.path.join(os.path.dirname(__file__), "languages")
+    with open(os.path.join(lang_dir, "babel_imagenet.json"), encoding="utf-8") as f:
+        tables = json.load(f)
+    lang = language.upper()
+    if lang not in tables:
+        raise KeyError(f"language {language!r} not in Babel-ImageNet "
+                       f"({len(tables)} languages available)")
+    idxs, classnames = tables[lang]
+    with open(os.path.join(lang_dir, "nllb_dist13b_prompts.json"), encoding="utf-8") as f:
+        templates = json.load(f)[lang]
+    templates = [t.replace("{}", "{c}") for t in templates]
+
+    if os.path.exists(os.path.join(root, "classnames.txt")) or any(
+        fn.endswith(".tar") for fn in os.listdir(root)
+    ):
+        base = build_wds_dataset(root, "imagenet1k", split)
+    else:
+        base = build_folder_dataset(root, "imagenet1k")
+    remap = {int(orig): i for i, orig in enumerate(idxs)}
+    keep = [i for i, l in enumerate(base.labels) if int(l) in remap]
+    return EvalDataset(
+        name=f"babel_imagenet_{lang}", task="zeroshot_classification",
+        images=[base.images[i] for i in keep],
+        labels=np.asarray([remap[int(base.labels[i])] for i in keep], np.int64),
+        classnames=list(classnames), templates=templates,
+    )
+
+
 def build_dataset(name: str, root: str = "", split: str = "test",
                   language: str = "en", annotation_file: str = "") -> EvalDataset:
     """Dispatch mirroring the reference ``build_dataset`` protocol names.
@@ -391,6 +430,9 @@ def build_dataset(name: str, root: str = "", split: str = "test",
                                       language, image_root=root)
     if name == "dummy":
         return build_dummy()
+    if name == "babel_imagenet" or name.startswith("babel_imagenet:"):
+        bi_root = name.split(":", 1)[1] if ":" in name else root
+        return build_babel_imagenet(bi_root, language, split)
     if name.startswith("wds/"):
         ds_name = name[len("wds/"):]
         ds_root = root.format(dataset=ds_name) if "{dataset}" in root else root

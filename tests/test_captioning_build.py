@@ -153,6 +153,7 @@ def test_cifar_pickle_and_npz_loaders(tmp_path):
     assert len(ds2) == 4 and ds2.classnames == ["a", "b", "c", "d"]
 
 
+@pytest.mark.slow  # re-tiered r4 (~35s); tests/test_languages.py covers the language path fast
 def test_cli_language_loop(tmp_path, monkeypatch):
     """--language en it produces one record per language with Italian
     classnames actually applied."""
