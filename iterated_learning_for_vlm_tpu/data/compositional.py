@@ -118,6 +118,68 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
     return (img * 255.0 + 0.5).astype(np.uint8)
 
 
+# ---- two-object scenes (round 4) -------------------------------------------
+# SugarCREPE's add/swap/relation contract types (reference
+# ``eval/sugar_crepe.py:13-63``: add_obj/add_att/swap_obj/swap_att/replace_rel)
+# need scenes with TWO bound (color, shape) objects: the negative caption
+# re-binds factors ACROSS objects (swap), asserts an absent object/attribute
+# (add), or flips the stated spatial relation (replace_rel).
+
+RELATIONS: Tuple[str, ...] = ("left of", "right of", "above", "below")
+_REL_OPPOSITE = {"left of": "right of", "right of": "left of",
+                 "above": "below", "below": "above"}
+
+
+def opposite_relation(rel: str) -> str:
+    return _REL_OPPOSITE[rel]
+
+
+def caption_two(c1: str, s1: str, c2: str, s2: str, rel: str = "and") -> str:
+    """``rel="and"`` -> conjunction scene; else a spatial relation caption.
+
+    The first-named object is the relation's subject: "a red circle left of
+    a blue square" means the red circle sits to the LEFT."""
+    if rel == "and":
+        return f"a photo of a {c1} {s1} and a {c2} {s2}"
+    return f"a photo of a {c1} {s1} {rel} a {c2} {s2}"
+
+
+def draw_two(pair1: Tuple[int, int], pair2: Tuple[int, int], rel: str,
+             size: int, rng: np.random.Generator,
+             noise: float = 0.06) -> np.ndarray:
+    """[size, size, 3] scene with object 1 positioned ``rel`` object 2
+    (``rel="and"`` draws them side by side, order jittered)."""
+    placements = {
+        "and": ((0.28, 0.5), (0.72, 0.5)),
+        "left of": ((0.28, 0.5), (0.72, 0.5)),
+        "right of": ((0.72, 0.5), (0.28, 0.5)),
+        "above": ((0.5, 0.28), (0.5, 0.72)),
+        "below": ((0.5, 0.72), (0.5, 0.28)),
+    }
+    (fx1, fy1), (fx2, fy2) = placements[rel]
+    if rel == "and" and rng.uniform() < 0.5:  # "and" is order-free
+        (fx1, fy1), (fx2, fy2) = (fx2, fy2), (fx1, fy1)
+    bg = 0.35 + 0.1 * float(rng.uniform(-1, 1))
+    img = np.full((size, size, 3), bg, np.float32)
+    for (ci, si), fx, fy in ((pair1, fx1, fy1), (pair2, fx2, fy2)):
+        cx = size * (fx + float(rng.uniform(-0.04, 0.04)))
+        cy = size * (fy + float(rng.uniform(-0.04, 0.04)))
+        r = size * float(rng.uniform(0.13, 0.17))
+        mask = _shape_mask(SHAPES[si], size, cx, cy, r)
+        img[mask] = np.asarray(COLORS[COLOR_NAMES[ci]], np.float32)
+    img += noise * rng.standard_normal(img.shape).astype(np.float32)
+    return np.clip(img, 0.0, 1.0)
+
+
+def distinct_pair2(pair1: Tuple[int, int], pool: Sequence[Tuple[int, int]],
+                   rng: np.random.Generator) -> Tuple[int, int]:
+    """A second scene object with a different color AND shape than the first
+    (so swap negatives re-bind unambiguously)."""
+    c1, s1 = pair1
+    cands = [p for p in pool if p[0] != c1 and p[1] != s1]
+    return cands[int(rng.integers(0, len(cands)))]
+
+
 def negative_pair(color_idx: int, shape_idx: int, swap: str,
                   rng: np.random.Generator, fold: int = 4,
                   require_seen: bool = True) -> Tuple[int, int]:

@@ -114,6 +114,39 @@ class HFClipEncoder:
         elif hasattr(tok, "src_lang"):
             tok.src_lang = lang
 
+    def _check_preprocessed(self, chunk: np.ndarray) -> None:
+        """Validate float arrays claimed to be fully preprocessed: spatial
+        size must match the processor's crop/size config when known, and the
+        value distribution must look standardized (mean-subtracted), not
+        [0, 1] / [0, 255] raw pixels."""
+        if chunk.ndim != 4 or chunk.shape[-1] != 3:
+            raise ValueError(
+                f"preprocessed image array must be [N,H,W,3], got {chunk.shape}")
+        expected = None
+        proc = self.processor
+        for attr in ("crop_size", "size"):
+            sz = getattr(proc, attr, None)
+            if isinstance(sz, dict):
+                expected = int(sz.get("height") or sz.get("shortest_edge") or 0)
+            elif isinstance(sz, int):
+                expected = sz
+            if expected:
+                break
+        if expected and chunk.shape[1:3] != (expected, expected):
+            raise ValueError(
+                f"preprocessed array is {chunk.shape[1]}x{chunk.shape[2]} but "
+                f"the model's image processor expects {expected}x{expected}; "
+                "pass PIL images or raw uint8 arrays to let the processor "
+                "resize, or resize before normalizing")
+        if float(chunk.min()) >= 0.0:
+            # standardized (mean-subtracted) pixels always contain negatives;
+            # an all-non-negative float array is raw [0,1] or [0,255] data
+            raise ValueError(
+                "preprocessed array has no negative values — it looks like "
+                "raw [0,1]/[0,255] pixels, not mean-subtracted features; "
+                "pass uint8/PIL input instead, or apply the processor's "
+                "rescale+normalize first")
+
     def _norm(self, feats, normalize: Optional[bool]):
         nrm = self.normalize if normalize is None else normalize
         arr = feats.detach().cpu().float().numpy()
@@ -129,8 +162,20 @@ class HFClipEncoder:
         with torch.no_grad():
             for i in range(0, len(imgs), self.batch_size):
                 chunk = imgs[i:i + self.batch_size]
-                if isinstance(chunk, np.ndarray):
-                    # already-preprocessed [N,H,W,3] -> NCHW, as-is
+                if isinstance(chunk, np.ndarray) and chunk.dtype == np.uint8 \
+                        and self.processor is not None:
+                    # raw uint8 frames are unambiguous: route through the
+                    # processor (it accepts numpy images) for its own
+                    # resize/rescale/normalize
+                    pixel = self.processor(
+                        images=[chunk[j] for j in range(len(chunk))],
+                        return_tensors="pt")["pixel_values"]
+                elif isinstance(chunk, np.ndarray):
+                    # already-preprocessed [N,H,W,3] -> NCHW, as-is.  Guard
+                    # the contract (ADVICE r3): a [0,1]-scaled or un-resized
+                    # float array would silently produce mis-normalized
+                    # embeddings.
+                    self._check_preprocessed(chunk)
                     pixel = torch.from_numpy(
                         np.ascontiguousarray(chunk.transpose(0, 3, 1, 2))
                     ).float()

@@ -517,7 +517,21 @@ def swin_config_from_yaml(source, embed_dim: int = 512,
     fields["mlp_ratio"] = float(sec.get("MLP_RATIO", 4.0))
 
     if mtype == "swin_moe":
-        n_dev = moe_devices if moe_devices is not None else jax.device_count()
+        # NUM_LOCAL_EXPERTS is per-device (Tutel semantics), so the resolved
+        # expert count depends on the device count: checkpoints are only
+        # portable across hosts when ``moe_devices`` is pinned explicitly.
+        # The resolved count lands in SwinConfig.num_experts (and therefore
+        # in any dumped config); warn when we silently used this host's
+        # device count (ADVICE r3: cross-host shape mismatch hazard).
+        n_dev = moe_devices
+        if n_dev is None:
+            n_dev = jax.device_count()
+            import logging
+
+            logging.getLogger("ilvlm.swin").warning(
+                "swin_moe: resolving NUM_LOCAL_EXPERTS against this host's "
+                "%d device(s); pin moe_devices= for checkpoints that must "
+                "load on other hardware", n_dev)
         local = int(sec.get("NUM_LOCAL_EXPERTS", 1))
         fields["num_experts"] = max(
             1, n_dev * local if local > 0 else n_dev // -local)

@@ -78,3 +78,73 @@ def test_tokenizer_handles_captions():
     assert tokens.shape == (8, 16)
     # short enough for the ctx-16 bucket (no truncation of the EOT)
     assert (pad[:, -1] != 0).all() or (tokens[:, -1] == 0).all()
+
+
+def test_two_object_scene_color_binding():
+    from iterated_learning_for_vlm_tpu.data.compositional import (
+        RELATIONS, caption_two, distinct_pair2, draw_two, opposite_relation,
+    )
+
+    rng = np.random.default_rng(0)
+    p1, p2 = (0, 1), (2, 3)  # red square, blue ring
+    # spatial relations place object 1 where the caption says
+    img = draw_two(p1, p2, "left of", 96, rng, noise=0.0)
+    left, right = img[:, :48], img[:, 48:]
+    red = np.asarray(COLORS["red"])
+    blue = np.asarray(COLORS["blue"])
+    assert (np.abs(left - red).sum(-1) < 0.2).any(), "subject not on the left"
+    assert (np.abs(right - blue).sum(-1) < 0.2).any(), "object not on the right"
+    img_r = draw_two(p1, p2, "right of", 96, rng, noise=0.0)
+    assert (np.abs(img_r[:, 48:] - red).sum(-1) < 0.2).any()
+    img_a = draw_two(p1, p2, "above", 96, rng, noise=0.0)
+    assert (np.abs(img_a[:48, :] - red).sum(-1) < 0.2).any()
+
+    assert caption_two("red", "square", "blue", "ring") == \
+        "a photo of a red square and a blue ring"
+    assert caption_two("red", "square", "blue", "ring", "above") == \
+        "a photo of a red square above a blue ring"
+    for rel in RELATIONS:
+        assert opposite_relation(opposite_relation(rel)) == rel
+
+    # distinct_pair2 never shares a factor with the anchor
+    seen = seen_pairs()
+    for _ in range(50):
+        q = distinct_pair2(p1, seen, rng)
+        assert q[0] != p1[0] and q[1] != p1[1]
+
+
+def test_data_generator_splits(tmp_path):
+    """The exported probe set carries all 9 SugarCREPE-shaped splits with
+    internally-consistent pos/neg captions."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "comp")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/make_compositional_data.py"),
+         out, "--shards", "1", "--per-shard", "20", "--eval-per-split", "8"],
+        check=True, capture_output=True, text=True)
+    meta = json.load(open(os.path.join(out, "meta.json")))
+    assert len(meta["splits"]) == 9
+    for split in meta["splits"]:
+        data = json.load(open(os.path.join(out, "eval", f"{split}.json")))
+        assert len(data) == 8
+        for rec in data.values():
+            assert rec["caption"] != rec["negative_caption"]
+            assert os.path.isfile(os.path.join(out, "eval", "images",
+                                               rec["filename"]))
+    # add_obj negatives extend the positive (assert an ABSENT object)
+    add = json.load(open(os.path.join(out, "eval", "add_obj.json")))
+    for rec in add.values():
+        assert rec["negative_caption"].startswith(
+            rec["caption"].replace("a photo of a", "a photo of a").split(" and ")[0])
+        assert " and " in rec["negative_caption"]
+    # swap negatives re-bind the same words
+    for split in ("swap_att", "swap_obj"):
+        d = json.load(open(os.path.join(out, "eval", f"{split}.json")))
+        for rec in d.values():
+            assert sorted(rec["caption"].split()) == \
+                sorted(rec["negative_caption"].split())
