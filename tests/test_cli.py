@@ -271,6 +271,7 @@ def test_linear_probe_val_split(tmp_path, monkeypatch):
         ])
 
 
+@pytest.mark.slow  # re-tiered r4 (~16s)
 def test_pretrained_model_sweep(tmp_path, monkeypatch):
     """--pretrained_model sweeps (model_config, ckpt) pairs from args or a
     file, overriding --model_config/--pretrained (reference cli.py:117-133)."""
@@ -334,6 +335,7 @@ def test_annotation_file_resolves_bare_retrieval_name(tmp_path):
         build_dataset("mscoco_captions", root=str(img_dir))
 
 
+@pytest.mark.slow  # re-tiered r4 (~15s)
 def test_encoder_normalize_per_call_override(tmp_path):
     """JitEncoder normalize is a static per-call override: the probe can get
     raw features while zeroshot keeps unit-norm ones."""
@@ -375,6 +377,7 @@ def test_no_normalize_probe_cli(tmp_path, monkeypatch):
     assert not np.allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-3)
 
 
+@pytest.mark.slow  # re-tiered r4 (~27s)
 def test_no_amp_forces_fp32_and_quiet_silences(tmp_path, monkeypatch, capsys):
     """--no_amp forces fp32 tower compute (reference autocast toggle);
     --quiet suppresses the progress line (reference --quiet)."""
@@ -428,6 +431,7 @@ def test_num_workers_threaded_preprocess(tmp_path):
     np.testing.assert_array_equal(serial, threaded)
 
 
+@pytest.mark.slow  # re-tiered r4 (~11s)
 def test_no_normalize_does_not_leak_to_zeroshot(tmp_path, monkeypatch):
     """--no_normalize only reaches the linear probe; zeroshot metrics are
     identical with and without it (cosine, not dot — reference semantics)."""

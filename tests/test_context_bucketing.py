@@ -101,6 +101,7 @@ def test_clip_text_embed_exact_across_buckets():
                                rtol=1e-5, atol=5e-6)
 
 
+@pytest.mark.slow  # re-tiered r4: exhaustive bucket-exactness variant (~40s); clip_text_embed keeps the fast-lane coverage
 def test_fdt_text_codebook_embed_exact_across_buckets():
     tok77, pad77 = _tokens(5, 77, max_len=24, seed=3)
     model = CLIPFDT(vision_cfg=V, text_cfg=T, fdt_cfg=F)
@@ -117,6 +118,7 @@ def test_fdt_text_codebook_embed_exact_across_buckets():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # re-tiered r4 (~22s)
 def test_fdt_text_grads_exact_across_buckets():
     """Gradients through the bucketed text path match the full-context run
     (the training-step claim, not just inference)."""

@@ -1,3 +1,4 @@
+import pytest
 """DeCLIP-FDT multi-task model forward test (tiny dims)."""
 import jax
 import jax.numpy as jnp
@@ -16,6 +17,7 @@ F = FDTConfig(sd_num=32, sd_dim=64, raw_img_ft_dim=32, raw_txt_ft_dim=32,
               sd_temperature=10.0)
 
 
+@pytest.mark.slow  # re-tiered r4 (~25s); test_declip_step keeps the recipe fast-lane
 def test_declip_fdt_forward_and_losses():
     model = DeCLIPFDT(vision_cfg=V, text_cfg=T, fdt_cfg=F,
                       declip_cfg=DeCLIPConfig(return_simsiam_text=True,

@@ -25,9 +25,11 @@ def _causal(s):
 
 @pytest.mark.parametrize("shape,causal,group", [
     ((6, 50, 12, 64), False, 4),   # image tower shape
-    ((6, 50, 12, 64), False, 12),  # one dot for all heads
+    pytest.param((6, 50, 12, 64), False, 12,
+                 marks=pytest.mark.slow),  # one dot for all heads
     ((4, 77, 8, 64), True, 4),     # text tower shape, causal
-    ((4, 77, 8, 64), True, 1),     # per-head dots
+    pytest.param((4, 77, 8, 64), True, 1,
+                 marks=pytest.mark.slow),  # per-head dots
     ((5, 13, 4, 8), False, 2),     # odd batch -> bb fallback
 ])
 def test_fused_matches_xla_fwd_and_grad(shape, causal, group):
@@ -123,8 +125,10 @@ def test_fused_attention_under_dp_sharded_jit():
 
 
 @pytest.mark.parametrize("shape,causal,group,sg", [
-    ((8, 50, 12, 64), False, 4, 2),   # image tower + sample fusion
-    ((8, 77, 8, 64), True, 2, 2),     # text tower, causal + sample fusion
+    pytest.param((8, 50, 12, 64), False, 4, 2,
+                 marks=pytest.mark.slow),  # image tower + sample fusion
+    pytest.param((8, 77, 8, 64), True, 2, 2,
+                 marks=pytest.mark.slow),  # text tower, causal + sample fusion
     ((8, 13, 4, 8), False, 2, 4),     # small padded seq, deep sample fusion
     ((6, 10, 2, 8), True, 2, 3),      # sg falls back to a divisor of bb
 ])
@@ -149,7 +153,11 @@ def test_sample_group_matches_xla_fwd_and_grad(shape, causal, group, sg):
                                atol=5e-5, rtol=5e-5)
 
 
-@pytest.mark.parametrize("gb,sgb", [(4, 1), (6, 2), (2, 4)])
+@pytest.mark.parametrize("gb,sgb", [
+    (4, 1),
+    pytest.param(6, 2, marks=pytest.mark.slow),
+    pytest.param(2, 4, marks=pytest.mark.slow),
+])
 def test_separate_bwd_tiling_matches_xla_grad(gb, sgb):
     """The backward kernel's (head_group_bwd, sample_group_bwd) may differ
     from the forward tiling (its body runs 6 dots vs fwd's 2); gradients must
@@ -168,7 +176,8 @@ def test_separate_bwd_tiling_matches_xla_grad(gb, sgb):
 
 @pytest.mark.parametrize("shape,causal,group,sg", [
     ((4, 50, 12, 64), False, 2, 2),   # image tower shape (shipped tiling)
-    ((4, 77, 8, 64), True, 2, 2),     # text tower shape, causal
+    pytest.param((4, 77, 8, 64), True, 2, 2,
+                 marks=pytest.mark.slow),  # text tower shape, causal
 ])
 def test_absorbed_qkv_bias_matches_xla_fwd_and_grad(shape, causal, group, sg):
     """``qkv_bias`` absorbs the packed in_proj bias into the kernel's VMEM

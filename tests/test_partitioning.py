@@ -151,7 +151,8 @@ def test_fused_attention_dp_tp_mesh_correct():
 
 @pytest.mark.parametrize("b,n_dev,batch_block,sg", [
     (8, 8, 8, 2),    # local b=1: shard must re-derive (bb=1, sg=1) AND its mask
-    (12, 2, 12, 4),  # local bb=6 not divisible by requested sg=4 -> sg=3 locally
+    pytest.param(12, 2, 12, 4, marks=pytest.mark.slow),
+    # local bb=6 not divisible by requested sg=4 -> sg=3 locally
 ])
 def test_fused_attention_sample_group_sharded_matches_unsharded(b, n_dev, batch_block, sg):
     """Regression (round-2.1 review): the SPMD rule re-runs the shard-local

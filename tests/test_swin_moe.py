@@ -137,6 +137,7 @@ def test_swin_moe_trains_one_step():
     assert int(new_state.step) == 1
 
 
+@pytest.mark.slow  # re-tiered r4 (~16s); tower forward + expert-selection stay fast
 def test_moe_expert_parallel_forward_matches_replicated():
     """Forward with expert params sharded over the mesh model axis ==
     replicated forward (GSPMD inserts the dispatch collectives)."""

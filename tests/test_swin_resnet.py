@@ -8,6 +8,7 @@ from iterated_learning_for_vlm_tpu.models.resnet import ModifiedResNet, ResNetCo
 from iterated_learning_for_vlm_tpu.models.swin import SwinConfig, SwinTransformer
 
 
+@pytest.mark.slow  # re-tiered r4 (~13s); v1 forward keeps the Swin fast-lane
 def test_swin_v2_tiny_forward():
     cfg = SwinConfig(input_resolution=32, patch_size=4, window_size=4, embed_dim=16,
                      depths=(1, 1), num_heads=(2, 4), v2=True, output_dim=24)

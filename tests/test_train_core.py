@@ -129,6 +129,7 @@ def test_sharded_loss_matches_global():
     assert float(acc_sh) == pytest.approx(float(m_gl["acc1"]), abs=1e-3)
 
 
+@pytest.mark.slow  # re-tiered r4 (~30s); test_sharded_loss_matches_global keeps the fast-lane coverage
 def test_sharded_loss_grads_match_global():
     from jax import shard_map
 
