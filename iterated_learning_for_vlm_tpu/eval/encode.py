@@ -67,6 +67,7 @@ class JitEncoder:
         weight_dtype=None,
         data_parallel: bool = False,
         mesh=None,
+        sd_temperature: Optional[float] = None,
     ):
         self.model = model
         if weight_dtype is not None:  # serving: pre-cast matmul weights
@@ -137,19 +138,30 @@ class JitEncoder:
         self.transform = build_common_augmentation(
             transform, image_size=self.image_size)
 
-        def img_fn(params, images, normalize):
+        # FDT codebook temperature as a TRACED argument: re-scoring another
+        # checkpoint at its decayed T (tools/il_effectiveness_ab.py sweeps
+        # many) swaps ``self.sd_temperature`` without recompiling — the
+        # reference rebuilds the model per checkpoint instead.
+        self.sd_temperature = float(
+            sd_temperature if sd_temperature is not None
+            else (model.fdt_cfg.sd_temperature if is_fdt else 0.0))
+
+        def img_fn(params, images, temp, normalize):
             if is_fdt:
-                _, emb = model.apply({"params": params}, images, method="extract_img_sd_ft")
+                _, emb = model.apply({"params": params}, images,
+                                     method="extract_img_sd_ft",
+                                     temperature=temp)
             else:
                 emb = model.apply({"params": params}, images, method="encode_image")
             if normalize:
                 emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-10)
             return emb
 
-        def txt_fn(params, tokens, pad_mask, normalize):
+        def txt_fn(params, tokens, pad_mask, temp, normalize):
             if is_fdt:
                 _, emb = model.apply(
-                    {"params": params}, tokens, pad_mask, method="extract_txt_sd_ft"
+                    {"params": params}, tokens, pad_mask,
+                    method="extract_txt_sd_ft", temperature=temp,
                 )
             else:
                 emb = model.apply({"params": params}, tokens, pad_mask, method="encode_text")
@@ -162,8 +174,8 @@ class JitEncoder:
         # (linear_probe.py:36-44,152) while every other metric L2-normalizes
         # unconditionally — so the probe can request raw features without
         # changing the zeroshot/retrieval paths.
-        self._img_fn = jax.jit(img_fn, static_argnums=2)
-        self._txt_fn = jax.jit(txt_fn, static_argnums=3)
+        self._img_fn = jax.jit(img_fn, static_argnums=3)
+        self._txt_fn = jax.jit(txt_fn, static_argnums=4)
 
     def _put(self, x) -> jnp.ndarray:
         """Host array -> device; batch-sharded over the mesh when the encoder
@@ -203,7 +215,9 @@ class JitEncoder:
             pad = bs - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            emb = np.asarray(self._img_fn(self.params, self._put(chunk), nrm))
+            emb = np.asarray(self._img_fn(
+                self.params, self._put(chunk),
+                jnp.asarray(self.sd_temperature, jnp.float32), nrm))
             out.append(emb[: len(images[i : i + bs])])
         return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
 
@@ -234,7 +248,8 @@ class JitEncoder:
             tokens, pad_mask = self.tokenizer(chunk, context_length=self.context_length)
             tokens, pad_mask = self._bucket_tokens(tokens, pad_mask)
             emb = np.asarray(
-                self._txt_fn(self.params, self._put(tokens), self._put(pad_mask), nrm)
+                self._txt_fn(self.params, self._put(tokens), self._put(pad_mask),
+                             jnp.asarray(self.sd_temperature, jnp.float32), nrm)
             )
             out.append(emb[:real])
         return np.concatenate(out) if out else np.zeros((0, 1), np.float32)

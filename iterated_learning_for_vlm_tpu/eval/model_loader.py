@@ -54,6 +54,7 @@ def load_eval_encoder(
     num_workers: int = 4,
     data_parallel: bool = False,
     language: str = "en",
+    encoder: Optional[JitEncoder] = None,
 ) -> JitEncoder:
     """checkpoint may be a path, a list of paths (averaged soup), or None
     (random init, for smoke tests).
@@ -61,7 +62,13 @@ def load_eval_encoder(
     ``sd_temperature`` overrides the FDT codebook temperature for eval: like
     the reference, eval rebuilds the model from the config YAML, so a
     checkpoint trained with T-decay would otherwise be scored at the config's
-    initial T (1000) instead of the final decayed value."""
+    initial T (1000) instead of the final decayed value.
+
+    ``encoder``: pass a JitEncoder from a previous call (same config) to
+    REUSE its jitted programs — the new checkpoint's params and the decayed
+    temperature are both traced arguments, so sweeping many checkpoints
+    (tools/il_effectiveness_ab.py: 10 arms x 4 checkpoints) costs one
+    compile total instead of one per checkpoint."""
     import copy as _copy
 
     if model_type in ("ja_clip", "nllb_clip"):
@@ -78,20 +85,26 @@ def load_eval_encoder(
                              batch_size=batch_size, normalize=normalize,
                              language=language)
 
-    # deep-copy Config inputs: the amp/sd_temperature overrides below mutate
-    # model kwargs, and a caller-held Config must not silently change
-    cfg = load_config(config) if isinstance(config, str) else _copy.deepcopy(config)
-    if not amp:
-        # reference --no_amp disables torch autocast; the TPU analogue is
-        # forcing fp32 compute in the towers instead of the config's dtype
-        # (bf16 in the shipping configs)
-        cfg.model["kwargs"] = {**cfg.model.get("kwargs", {}), "dtype": "float32"}
-    if sd_temperature is not None:
-        kwargs = cfg.model.get("kwargs", {})
-        if "fdt" in kwargs:
-            kwargs["fdt"]["sd_temperature"] = float(sd_temperature)
-    model, is_fdt = build_model_from_config(cfg)
-    template = init_template_state(model)
+    if encoder is not None:
+        model, is_fdt = encoder.model, encoder.is_fdt
+        template = encoder._ckpt_template
+        cfg_type = getattr(encoder, "_cfg_type", None)
+    else:
+        # deep-copy Config inputs: the amp/sd_temperature overrides below
+        # mutate model kwargs, and a caller-held Config must not change
+        cfg = load_config(config) if isinstance(config, str) else _copy.deepcopy(config)
+        if not amp:
+            # reference --no_amp disables torch autocast; the TPU analogue is
+            # forcing fp32 compute in the towers instead of the config's dtype
+            # (bf16 in the shipping configs)
+            cfg.model["kwargs"] = {**cfg.model.get("kwargs", {}), "dtype": "float32"}
+        if sd_temperature is not None:
+            kwargs = cfg.model.get("kwargs", {})
+            if "fdt" in kwargs:
+                kwargs["fdt"]["sd_temperature"] = float(sd_temperature)
+        model, is_fdt = build_model_from_config(cfg)
+        template = init_template_state(model)
+        cfg_type = str(cfg.model.type)
     # --model_type open_clip forces the OpenAI/open_clip layout rename;
     # cust_clip keeps auto-detection (reference TYPE2FUNC dispatch)
     layout = "openai" if model_type == "open_clip" else "auto"
@@ -123,12 +136,21 @@ def load_eval_encoder(
 
     from ..models import is_spectral_norm_type
 
-    if is_spectral_norm_type(str(cfg.model.type)):
+    if cfg_type and is_spectral_norm_type(cfg_type):
         # _sp variants store the raw parametrisation; eval uses the
         # spectrally-normalised effective weights (torch wrapper semantics).
         from ..train.lipreg import spectral_normalize_tree
 
         params = spectral_normalize_tree(params)
-    return JitEncoder(model, params, is_fdt=is_fdt, batch_size=batch_size,
-                      transform=transform, normalize=normalize,
-                      num_workers=num_workers, data_parallel=data_parallel)
+    if encoder is not None:
+        encoder.params = params
+        if sd_temperature is not None and is_fdt:
+            encoder.sd_temperature = float(sd_temperature)
+        return encoder
+    enc = JitEncoder(model, params, is_fdt=is_fdt, batch_size=batch_size,
+                     transform=transform, normalize=normalize,
+                     num_workers=num_workers, data_parallel=data_parallel,
+                     sd_temperature=sd_temperature)
+    enc._ckpt_template = template
+    enc._cfg_type = cfg_type
+    return enc

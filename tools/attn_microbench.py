@@ -86,6 +86,61 @@ def sweep_bwd(name, b, s, heads, hd, causal, fwd_cfg, bwd_configs):
               flush=True)
 
 
+def xla_variant(qkv, heads, bias, how):
+    """Alternative XLA einsum formulations of the same attention — probes
+    whether the score-tensor layout choice (the [B,H,S,S] canonical form
+    forces [B,S,H,hd]<->[B,H,S,hd] transposes, ~18 ms/step of "data
+    formatting" in the round-2 profile) can be avoided without Pallas."""
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (t.reshape(b, s, heads, hd) for t in (q, k, v))
+    scale = hd ** -0.5
+    if how == "bhqk":  # canonical (== xla_attention_reference)
+        logits = jnp.einsum("bqhc,bkhc->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            logits = logits + bias.astype(jnp.float32)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhc->bqhc", w.astype(qkv.dtype), v)
+    elif how == "bqhk":  # head-minor scores: no [B,H,S,hd] operand layout
+        logits = jnp.einsum("bqhc,bkhc->bqhk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            logits = logits + bias.astype(jnp.float32)[:, None, :]
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bqhk,bkhc->bqhc", w.astype(qkv.dtype), v)
+    elif how == "bqkh":  # head-last scores: softmax over a strided axis
+        logits = jnp.einsum("bqhc,bkhc->bqkh", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+            logits = logits + bias.astype(jnp.float32)[:, :, None]
+        w = jax.nn.softmax(logits, axis=2)
+        out = jnp.einsum("bqkh,bkhc->bqhc", w.astype(qkv.dtype), v)
+    else:
+        raise ValueError(how)
+    return out.reshape(b, s, d)
+
+
+def sweep_xla_variants(name, b, s, heads, hd, causal):
+    d = heads * hd
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * d)), jnp.bfloat16)
+    bias = (jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)
+            if causal else None)
+
+    def grad_of(f):
+        return jax.jit(jax.grad(lambda x: jnp.sum(f(x).astype(jnp.float32))))
+
+    print(f"-- {name} XLA layout variants: B={b} S={s} H={heads} hd={hd}")
+    for how in ("bhqk", "bqhk", "bqkh"):
+        f = jax.jit(lambda x, how=how: xla_variant(x, heads, bias, how))
+        fb = grad_of(lambda x, how=how: xla_variant(x, heads, bias, how))
+        print(f"   {how}: fwd {timeit(f, qkv):7.3f} ms   "
+              f"fwd+bwd {timeit(fb, qkv):7.3f} ms", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "vision"
     if which == "vision":
@@ -94,6 +149,13 @@ if __name__ == "__main__":
     elif which == "bwd":
         sweep_bwd("vision", 256, 50, 12, 64, False, (2, 2),
                   [(2, 2), (4, 2), (2, 4), (4, 4), (6, 2), (4, 1), (12, 1), (6, 4)])
+    elif which == "xla77":
+        sweep_xla_variants("text77", 256, 77, 8, 64, True)
+        sweep_xla_variants("vision50", 256, 50, 12, 64, False)
+    elif which == "text77":
+        # round-4 recheck at S=77 incl. large fused groups
+        sweep("text", 256, 77, 8, 64, True,
+              [(2, 2), (2, 4), (4, 2), (4, 4), (8, 1), (8, 2), (2, 8), (1, 8)])
     else:
         sweep("text", 256, 77, 8, 64, True,
               [(2, 1), (2, 2), (4, 2), (1, 4), (2, 4), (8, 1)])
