@@ -48,6 +48,17 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 _NORM_SCALE = (1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
 _NORM_OFFSET = (-IMAGENET_MEAN / IMAGENET_STD).astype(np.float32)
 
+# uint8 WIRE format (``out_u8=True`` recipes + data.train.wire_dtype: uint8):
+# the augment chain holds uint8 pixels until its final normalize either way
+# (PIL ops are uint8; the native kernel normalizes from a uint8 buffer,
+# data/native/fused_augment.c:437-445), so emitting the uint8 pixels and
+# applying the SAME fp32 multiply-add on DEVICE reproduces the host float
+# path to within 1 fp32 ulp (XLA fuses the multiply-add into an FMA; numpy
+# rounds twice) — while host->device image traffic drops 4x (the training
+# bottleneck over the remote-chip tunnel: a bs256 fp32 batch is 154 MB).
+_U8_SCALE = np.ones(3, dtype=np.float32)
+_U8_OFFSET = np.zeros(3, dtype=np.float32)
+
 
 def _to_array(img: Image.Image) -> np.ndarray:
     arr = np.asarray(img, dtype=np.float32)
@@ -178,7 +189,8 @@ def color_jitter(img: Image.Image, rng: np.random.Generator,
     return img
 
 
-def _mocov2_pil(img: Image.Image, plan: AugmentPlan, size: int) -> np.ndarray:
+def _mocov2_pil(img: Image.Image, plan: AugmentPlan, size: int,
+                out_u8: bool = False) -> np.ndarray:
     x, y, cw, ch = plan.box
     img = img.resize((size, size), Image.BICUBIC, box=(x, y, x + cw, y + ch))
     for op, f in plan.jitter:
@@ -189,6 +201,8 @@ def _mocov2_pil(img: Image.Image, plan: AugmentPlan, size: int) -> np.ndarray:
         img = img.filter(ImageFilter.GaussianBlur(radius=plan.blur_sigma))
     if plan.flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if out_u8:  # the PIL image IS uint8 — no precision is lost here
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
     return _to_array(img)
 
 
@@ -202,16 +216,22 @@ def _native_lib():
     return native if native.available() else None
 
 
-def _mocov2_native(arr: np.ndarray, plan: AugmentPlan, size: int) -> np.ndarray:
+def _mocov2_native(arr: np.ndarray, plan: AugmentPlan, size: int,
+                   out_u8: bool = False) -> np.ndarray:
     from . import native
 
     x, y, cw, ch = plan.box
-    return native.fused_augment(
+    out = native.fused_augment(
         arr, (x, y, cw, ch), size,
         [op for op, _ in plan.jitter], [f for _, f in plan.jitter],
         plan.grayscale, plan.blur_sigma, plan.flip,
-        _NORM_SCALE, _NORM_OFFSET,
+        _U8_SCALE if out_u8 else _NORM_SCALE,
+        _U8_OFFSET if out_u8 else _NORM_OFFSET,
     )
+    if out_u8:  # exact: the kernel normalizes FROM a uint8 buffer, so with
+        # scale 1 / offset 0 every value is an exact small integer in fp32
+        return out.astype(np.uint8)
+    return out
 
 
 def _as_rgb_array(img) -> np.ndarray:
@@ -227,7 +247,8 @@ def _as_rgb_array(img) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def mocov2_single(img, rng: np.random.Generator, size: int = 224,
-                  native: Optional[bool] = None) -> np.ndarray:
+                  native: Optional[bool] = None,
+                  out_u8: bool = False) -> np.ndarray:
     """MOCOV2_single on a PIL image (or HxWx3 uint8 array).
 
     ``native=None`` auto-selects the fused C path when it is built
@@ -237,15 +258,16 @@ def mocov2_single(img, rng: np.random.Generator, size: int = 224,
     if use_native:
         arr = _as_rgb_array(img)
         plan = mocov2_plan(arr.shape[1], arr.shape[0], rng)
-        return _mocov2_native(arr, plan, size)
+        return _mocov2_native(arr, plan, size, out_u8)
     img = img.convert("RGB") if not isinstance(img, np.ndarray) else Image.fromarray(img)
     plan = mocov2_plan(img.size[0], img.size[1], rng)
-    return _mocov2_pil(img, plan, size)
+    return _mocov2_pil(img, plan, size, out_u8)
 
 
 def onecrop(img, rng: np.random.Generator | None = None,
             resize: int = 256, size: int = 224,
-            native: Optional[bool] = None) -> np.ndarray:
+            native: Optional[bool] = None,
+            out_u8: bool = False) -> np.ndarray:
     use_native = _native_lib() is not None if native is None else native
     if use_native:
         from . import native as native_mod
@@ -260,10 +282,13 @@ def onecrop(img, rng: np.random.Generator | None = None,
         # fused box resize == staged resize-then-crop: out pixel i center maps
         # to (left + i + 0.5) * w / nw either way (same filterscale)
         sx, sy = w / nw, h / nh
-        return native_mod.fused_augment(
+        out = native_mod.fused_augment(
             arr, (left * sx, top * sy, size * sx, size * sy), size,
-            [], [], False, -1.0, False, _NORM_SCALE, _NORM_OFFSET,
+            [], [], False, -1.0, False,
+            _U8_SCALE if out_u8 else _NORM_SCALE,
+            _U8_OFFSET if out_u8 else _NORM_OFFSET,
         )
+        return out.astype(np.uint8) if out_u8 else out
     img = img.convert("RGB") if not isinstance(img, np.ndarray) else Image.fromarray(img)
     w, h = img.size
     if w < h:
@@ -273,6 +298,8 @@ def onecrop(img, rng: np.random.Generator | None = None,
     img = img.resize((nw, nh), Image.BICUBIC)
     left, top = (nw - size) // 2, (nh - size) // 2
     img = img.crop((left, top, left + size, top + size))
+    if out_u8:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
     return _to_array(img)
 
 
@@ -285,21 +312,27 @@ _RECIPES = {
 }
 
 
-def build_common_augmentation(name: str, image_size: int = None):
+def build_common_augmentation(name: str, image_size: int = None,
+                              out_u8: bool = False):
     """Name-compatible entry point (reference ``build_common_augmentation``).
 
     ``image_size`` overrides the recipes' 224 output (the reference is
     hard-coded to 224; models at other resolutions need matching crops —
-    the solver threads ``vision_cfg.input_resolution`` through)."""
+    the solver threads ``vision_cfg.input_resolution`` through).
+
+    ``out_u8`` emits uint8 pixels (pre-normalize) for the uint8 wire format
+    (see ``_U8_SCALE`` note); consumers must apply
+    ``x * _NORM_SCALE + _NORM_OFFSET`` in fp32 — bit-identical to the host
+    float path."""
     if name not in _RECIPES:
         raise KeyError(f"unknown augmentation recipe {name!r}; known: {sorted(_RECIPES)}")
     fn = _RECIPES[name]
-    if not image_size or image_size == 224:
-        return fn
     import functools
 
+    if not image_size or image_size == 224:
+        return functools.partial(fn, out_u8=out_u8) if out_u8 else fn
     if fn is onecrop:
         # keep the reference's 256/224 resize-to-crop ratio
         return functools.partial(onecrop, resize=round(image_size * 256 / 224),
-                                 size=image_size)
-    return functools.partial(fn, size=image_size)
+                                 size=image_size, out_u8=out_u8)
+    return functools.partial(fn, size=image_size, out_u8=out_u8)

@@ -215,6 +215,40 @@ def _apply_bucket(batch, gmax, buckets):
 
 
 @functools.lru_cache(maxsize=None)
+def _device_normalize_fn():
+    """Jitted uint8 -> normalized fp32 image map (the device half of the
+    uint8 wire format, see augment._U8_SCALE): the same multiply-add the
+    host float path applies — within 1 fp32 ulp (device FMA fusion vs
+    numpy's two roundings).  Elementwise (no collectives) and
+    sharding-preserving."""
+    import jax
+    import jax.numpy as jnp
+
+    from .augment import _NORM_OFFSET, _NORM_SCALE
+
+    scale = jnp.asarray(_NORM_SCALE)
+    offset = jnp.asarray(_NORM_OFFSET)
+
+    def f(x):
+        return x.astype(jnp.float32) * scale + offset
+
+    return jax.jit(f)
+
+
+def normalize_device_batch(batch):
+    """Apply the device-side normalize to uint8 image keys (no-op for the
+    float32 wire)."""
+    out = batch
+    for k in ("image", "image_v2"):
+        v = batch.get(k)
+        if v is not None and str(v.dtype) == "uint8":
+            if out is batch:
+                out = dict(batch)
+            out[k] = _device_normalize_fn()(v)
+    return out
+
+
+@functools.lru_cache(maxsize=None)
 def _global_max_len_fn():
     """Jitted global max-caption-length reduction (cached: a fresh ``jit``
     per call would retrace every step).  On a host-sharded global pad_mask
@@ -298,8 +332,19 @@ def get_wds_dataset(
             num_samples, len(shards),
         )
     transforms_name = cfg.get("transforms", "MOCOV2_single")
+    # uint8 wire (default): augmented pixels cross host->device as uint8 and
+    # are normalized on device (prefetch_to_device) — within 1 fp32 ulp of
+    # the float32 wire (augment._U8_SCALE note) at 1/4 the transfer volume,
+    # the step-time bottleneck when the chip sits behind a network tunnel.
+    # data.train.wire_dtype: float32 restores the host-normalized wire.
+    wire_dtype = str(cfg.get("wire_dtype", "uint8"))
+    if wire_dtype not in ("uint8", "float32"):
+        raise ValueError(f"data.train.wire_dtype must be uint8|float32, "
+                         f"got {wire_dtype!r}")
+    wire_u8 = wire_dtype == "uint8"
     augment = build_common_augmentation(transforms_name,
-                                        image_size=int(cfg.get("image_size", 0)))
+                                        image_size=int(cfg.get("image_size", 0)),
+                                        out_u8=wire_u8)
     # two augmented views per image (reference TwoCropsTransform for the
     # MOCOV2/SIMCLR/SIMSIAM recipes; DeCLIP's SimSiam branch needs both)
     two_views = bool(cfg.get("two_views",
@@ -403,7 +448,8 @@ def get_wds_dataset(
             if len(images) == batch_size:
                 tokens, pad_mask = tokenizer(texts, context_length=context_length)
                 batch = {
-                    "image": np.stack(images).astype(np.float32),
+                    "image": np.stack(images).astype(
+                        np.uint8 if wire_u8 else np.float32),
                     "tokens": tokens,
                     "pad_mask": pad_mask,
                 }
@@ -418,7 +464,8 @@ def get_wds_dataset(
                     batch["tokens"] = masked.astype(np.int32)
                     batch["mlm_labels"] = labels.astype(np.int32)
                 if two_views:
-                    batch["image_v2"] = np.stack(images_v2).astype(np.float32)
+                    batch["image_v2"] = np.stack(images_v2).astype(
+                        np.uint8 if wire_u8 else np.float32)
                 yield bucket_context(batch, context_buckets)
                 images, images_v2, texts = [], [], []
                 produced += 1
@@ -507,7 +554,10 @@ def prefetch_to_device(iterator: Iterator, mesh=None, size: int = 2) -> Iterator
                 return
             if isinstance(item, _ProducerFailure):
                 raise item.exc  # original traceback preserved (__traceback__)
-            yield item
+            # uint8 wire: normalize on device, dispatched from the CONSUMER
+            # (step-dispatch) thread — elementwise jit, sharding-preserving,
+            # no collectives (multi-host dispatch-order safe)
+            yield normalize_device_batch(item)
     finally:
         abandoned.set()
 
