@@ -14,17 +14,22 @@ through the real launcher (`scripts/train.py --multihost`):
 
 Legs (2 processes x 4 virtual CPU devices each):
   A: straight 12-step run (2 epochs x 6 steps), IL reset at step 8,
-     checkpoints at steps 6 and 12.
-  B: fresh processes resume from leg A's step-6 checkpoint, run to 12.
+     checkpoints every 2 steps.
+  B: fresh processes resume from leg A's step-6 (EPOCH-BOUNDARY)
+     checkpoint, run to 12.
+  C: fresh processes resume from leg A's step-4 (MID-EPOCH) checkpoint —
+     the deterministic skip-into-epoch path (solver._batches skip=,
+     round 4) — and cross the step-8 IL reset after resuming.
 
 Assertions:
   1. Within each leg both processes print IDENTICAL per-step losses
      (SPMD determinism across hosts).
-  2. Leg B's final checkpoint is BIT-IDENTICAL to leg A's (epoch-boundary
-     resume determinism: Solver._train start_epoch + (seed, epoch)-keyed
-     detshuffle make steps 7-12 see the same stream).
-  3. Both legs' logs show the synced-bucket engagement line and the IL
-     transition lines.
+  2. Legs B and C's final checkpoints are BIT-IDENTICAL to leg A's
+     (epoch-boundary AND mid-epoch resume determinism: start_epoch +
+     skip-into-epoch + (seed, epoch)-keyed detshuffle reproduce the
+     remaining stream exactly).
+  3. All legs' logs show the synced-bucket engagement line and the IL
+     transition lines; leg C's logs show the mid-epoch skip line.
 
 Artifact: results/mh_full_drill.json.  Run standalone (NOT under pytest —
 two concurrent cold compiles + the Orbax distributed barrier flake there on
@@ -87,7 +92,7 @@ data:
         context_buckets: [8, 16]
         context_buckets_sync: true
 
-saver: {{print_freq: 1, val_freq: 0, save_freq: 6, save_many: False,
+saver: {{print_freq: 1, val_freq: 0, save_freq: 2, save_many: False,
         async_save: true}}
 
 reset:
@@ -207,8 +212,8 @@ def main():
     assert "IL reset" in t0 or "reset" in t0.lower()
     result["checks"]["il_reset_fired"] = True
     ck_a = os.path.join(exp_dir(out_a), "checkpoints")
-    assert os.path.isdir(os.path.join(ck_a, "ckpt_6")), os.listdir(ck_a)
-    assert os.path.isdir(os.path.join(ck_a, "ckpt_12")), os.listdir(ck_a)
+    for step in (4, 6, 12):
+        assert os.path.isdir(os.path.join(ck_a, f"ckpt_{step}")), os.listdir(ck_a)
     result["checks"]["checkpoints_saved"] = True
 
     # ---- leg B: fresh processes resume from ckpt_6 ------------------------
@@ -229,24 +234,46 @@ def main():
     result["legB_losses"] = lb0
     ck_b = os.path.join(exp_dir(out_b), "checkpoints")
 
-    # ---- bit-identical final state ----------------------------------------
+    # ---- leg C: fresh processes resume MID-EPOCH from ckpt_4 ---------------
+    out_c = os.path.join(args.workdir, "legC")
+    os.makedirs(out_c, exist_ok=True)
+    rcs_c, logs_c = launch_pair(cfg_path, out_c, args.port + 2,
+                                ckpt_path=os.path.join(ck_a, "ckpt_4"),
+                                timeout=args.timeout)
+    result["legC_rcs"] = rcs_c
+    assert rcs_c == [0, 0], (rcs_c, open(logs_c[0]).read()[-3000:],
+                             open(logs_c[1]).read()[-3000:])
+    lc0, tc0 = parse_losses(logs_c[0])
+    lc1, _ = parse_losses(logs_c[1])
+    assert lc0 == lc1 and sorted(lc0) == list(range(5, 13)), (lc0, lc1)
+    assert "mid-epoch resume: skipping the first 4 batches" in tc0, \
+        tc0[-2000:]
+    # steps 5-12 must REPRODUCE leg A exactly (skip-into-epoch determinism)
+    assert {k: v for k, v in l0.items() if k >= 5} == lc0, (l0, lc0)
+    result["checks"]["mid_epoch_resume_losses_identical"] = True
+    result["legC_losses"] = lc0
+    ck_c = os.path.join(exp_dir(out_c), "checkpoints")
+
+    # ---- bit-identical final states ----------------------------------------
     import numpy as np
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 4)
     sa = load_ckpt_params(os.path.join(ck_a, "ckpt_12"))
-    sb = load_ckpt_params(os.path.join(ck_b, "ckpt_12"))
-    mismatch = []
-    for (pa, la), (pb, lb) in zip(
-        jax.tree_util.tree_leaves_with_path(sa.params),
-        jax.tree_util.tree_leaves_with_path(sb.params),
-    ):
-        if not np.array_equal(np.asarray(la), np.asarray(lb)):
-            mismatch.append(jax.tree_util.keystr(pa))
-    assert not mismatch, mismatch[:10]
     n_leaves = len(jax.tree_util.tree_leaves(sa.params))
-    result["checks"]["final_params_bit_identical"] = True
+    for tag, ck in (("final_params_bit_identical", ck_b),
+                    ("mid_epoch_final_params_bit_identical", ck_c)):
+        sb = load_ckpt_params(os.path.join(ck, "ckpt_12"))
+        mismatch = []
+        for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(sa.params),
+            jax.tree_util.tree_leaves_with_path(sb.params),
+        ):
+            if not np.array_equal(np.asarray(la), np.asarray(lb)):
+                mismatch.append(jax.tree_util.keystr(pa))
+        assert not mismatch, (tag, mismatch[:10])
+        result["checks"][tag] = True
     result["params_leaves_compared"] = n_leaves
     result["ok"] = True
 
