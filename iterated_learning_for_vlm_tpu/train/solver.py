@@ -165,12 +165,19 @@ class Solver:
         rng = jax.random.PRNGKey(self.seed)
         two_view_model = self.recipe in ("declip", "defilip")
 
-        def init_all(key=rng):
+        # jit the init: flax Module.init otherwise traces EAGERLY — thousands
+        # of tiny device dispatches, minutes over a remote-chip tunnel every
+        # time an arm sweep reinitializes (tools/il_effectiveness_ab.py)
+        @jax.jit
+        def _init_jit(key):
             if two_view_model:  # DeCLIP-family forward takes both views
                 return self.model.init(
                     key, dummy_img, dummy_img, dummy_tok, dummy_pad, train=True
                 )
             return self.model.init(key, dummy_img, dummy_tok, dummy_pad)
+
+        def init_all(key=rng):
+            return _init_jit(key)
 
         def init_fn(key=rng):
             return init_all(key)["params"]
