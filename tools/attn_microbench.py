@@ -58,12 +58,14 @@ def sweep(name, b, s, heads, hd, causal, configs):
     print(f"-- {name}: B={b} S={s} H={heads} hd={hd} causal={causal}")
     print(f"   xla      : fwd {timeit(xf, qkv):7.3f} ms   "
           f"fwd+bwd {timeit(grad_of(lambda x: xla_attention_reference(x, heads, bias)), qkv):7.3f} ms")
-    for g, sg in configs:
-        f = jax.jit(lambda x, g=g, sg=sg: fused_tiny_attention(
-            x, heads, bias=bias, head_group=g, sample_group=sg))
-        fb = grad_of(lambda x, g=g, sg=sg: fused_tiny_attention(
-            x, heads, bias=bias, head_group=g, sample_group=sg))
-        print(f"   g={g:<2} sg={sg:<2}: fwd {timeit(f, qkv):7.3f} ms   "
+    for cfg in configs:
+        g, sg = cfg[:2]
+        bb = cfg[2] if len(cfg) > 2 else 8
+        f = jax.jit(lambda x, g=g, sg=sg, bb=bb: fused_tiny_attention(
+            x, heads, bias=bias, head_group=g, sample_group=sg, batch_block=bb))
+        fb = grad_of(lambda x, g=g, sg=sg, bb=bb: fused_tiny_attention(
+            x, heads, bias=bias, head_group=g, sample_group=sg, batch_block=bb))
+        print(f"   g={g:<2} sg={sg:<2} bb={bb:<3}: fwd {timeit(f, qkv):7.3f} ms   "
               f"fwd+bwd {timeit(fb, qkv):7.3f} ms", flush=True)
 
 
@@ -153,9 +155,10 @@ if __name__ == "__main__":
         sweep_xla_variants("text77", 256, 77, 8, 64, True)
         sweep_xla_variants("vision50", 256, 50, 12, 64, False)
     elif which == "text77":
-        # round-4 recheck at S=77 incl. large fused groups
+        # round-4 recheck at S=77 incl. large fused groups + batch_block
         sweep("text", 256, 77, 8, 64, True,
-              [(2, 2), (2, 4), (4, 2), (4, 4), (8, 1), (8, 2), (2, 8), (1, 8)])
+              [(2, 2), (2, 4), (4, 2), (4, 4), (8, 1), (8, 2), (2, 8), (1, 8),
+               (2, 4, 16), (2, 4, 32), (4, 4, 16), (2, 8, 16), (2, 2, 32)])
     else:
         sweep("text", 256, 77, 8, 64, True,
               [(2, 1), (2, 2), (4, 2), (1, 4), (2, 4), (8, 1)])
