@@ -40,6 +40,7 @@ def _common(kwargs: Mapping[str, Any]):
     fused_attn_group = int(kwargs.get("fused_attn_group", 2))
     fused_attn_sample_group = int(kwargs.get("fused_attn_sample_group", 2))
     unroll = bool(kwargs.get("unroll", False))
+    attn_layout = str(kwargs.get("attn_layout", "bhqk"))
     for kw in (img_kw, txt_kw):
         kw.setdefault("remat", remat)
         kw.setdefault("use_flash", use_flash)
@@ -47,6 +48,7 @@ def _common(kwargs: Mapping[str, Any]):
         kw.setdefault("fused_attn_group", fused_attn_group)
         kw.setdefault("fused_attn_sample_group", fused_attn_sample_group)
         kw.setdefault("unroll", unroll)
+        kw.setdefault("attn_layout", attn_layout)
     return img_kw, txt_kw, dtype
 
 

@@ -98,6 +98,12 @@ class MultiheadAttention(nn.Module):
     # overhead-bound at tiny S; swept on-chip: vision g=2 x sg=2 beats the
     # round-2 g=4 x sg=1 by ~14% per layer fwd+bwd)
     fused_attn_sample_group: int = 2
+    # XLA-path score-tensor layout: "bhqk" (canonical) or "bqhk" (head-minor
+    # scores — skips the [B,S,H,hd]<->[B,H,S,hd] canonicalization transposes;
+    # measured 2.084 -> 1.970 ms/layer fwd+bwd at the text S=77 shape,
+    # same-process, tools/attn_microbench.py xla77).  Identical math; the
+    # reduction order inside softmax/dots differs by layout only.
+    attn_layout: str = "bhqk"
 
     @nn.compact
     def __call__(self, x, bias: Optional[jnp.ndarray] = None, return_weights: bool = False):
@@ -143,6 +149,15 @@ class MultiheadAttention(nn.Module):
 
             out = flash_attention(q, k, v, bias=bias)
             weights = None
+        elif self.attn_layout == "bqhk" and not return_weights:
+            scale = head_dim ** -0.5
+            logits = jnp.einsum("bqhc,bkhc->bqhk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            if bias is not None:
+                logits = logits + bias.astype(jnp.float32)[:, None, :]
+            weights = None
+            out = jnp.einsum("bqhk,bkhc->bqhc",
+                             jax.nn.softmax(logits, axis=-1).astype(self.dtype), v)
         else:
             scale = head_dim ** -0.5
             logits = jnp.einsum("bqhc,bkhc->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -210,6 +225,7 @@ class ResidualAttentionBlock(nn.Module):
     fused_attn: bool = False
     fused_attn_group: int = 2
     fused_attn_sample_group: int = 2
+    attn_layout: str = "bhqk"
     collect_hidden: bool = False
     collect_attn: bool = False
 
@@ -228,6 +244,7 @@ class ResidualAttentionBlock(nn.Module):
             fused_attn=self.fused_attn,
             fused_attn_group=self.fused_attn_group,
             fused_attn_sample_group=self.fused_attn_sample_group,
+            attn_layout=self.attn_layout,
             name="attn",
         )(LayerNorm(dtype=self.dtype, name="ln_1")(x), bias=bias,
           return_weights=self.collect_attn)
@@ -261,6 +278,7 @@ class Transformer(nn.Module):
     fused_attn: bool = False
     fused_attn_group: int = 2
     fused_attn_sample_group: int = 2
+    attn_layout: str = "bhqk"
     # Unroll the layer loop at trace time (params stay stacked [L, ...], so
     # checkpoints are unchanged).  Costs compile time; lets the XLA scheduler
     # specialize/pipeline across layers instead of a while-loop body.
@@ -309,6 +327,7 @@ class Transformer(nn.Module):
             fused_attn=self.fused_attn,
             fused_attn_group=self.fused_attn_group,
             fused_attn_sample_group=self.fused_attn_sample_group,
+            attn_layout=self.attn_layout,
             collect_hidden=return_hidden_states,
             collect_attn=return_attn_weights,
             name="resblocks",

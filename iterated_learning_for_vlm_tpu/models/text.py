@@ -37,6 +37,7 @@ class TextConfig:
     fused_attn: bool = False
     fused_attn_group: int = 2
     fused_attn_sample_group: int = 2
+    attn_layout: str = "bhqk"
     unroll: bool = False
 
 
@@ -88,6 +89,7 @@ class TextTransformer(nn.Module):
             fused_attn=cfg.fused_attn,
             fused_attn_group=cfg.fused_attn_group,
             fused_attn_sample_group=cfg.fused_attn_sample_group,
+            attn_layout=cfg.attn_layout,
             name="transformer",
         )(emb, return_attn_weights=return_attn)
         attn = None

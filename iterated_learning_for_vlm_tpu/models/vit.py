@@ -33,6 +33,7 @@ class VisionConfig:
     fused_attn: bool = False
     fused_attn_group: int = 2
     fused_attn_sample_group: int = 2
+    attn_layout: str = "bhqk"
     unroll: bool = False
 
 
@@ -112,6 +113,7 @@ class VisionTransformer(nn.Module):
             fused_attn=cfg.fused_attn,
             fused_attn_group=cfg.fused_attn_group,
             fused_attn_sample_group=cfg.fused_attn_sample_group,
+            attn_layout=cfg.attn_layout,
             name="transformer",
         )(x, return_attn_weights=return_attn)
         attn = None

@@ -250,3 +250,27 @@ def test_transformer_hidden_states_stacked():
                                  return_attn_weights=True)
     assert attn.shape == (3, 2, 7, 7)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-6)
+
+
+def test_attn_layout_bqhk_matches_bhqk():
+    """The head-minor XLA score layout ("bqhk" — skips the [B,H,S,hd]
+    canonicalization transposes) must match the canonical layout numerically
+    on both towers (same math, different einsum layout)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iterated_learning_for_vlm_tpu.models.layers import MultiheadAttention
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 13, 64)), jnp.float32)
+    bias = jnp.triu(jnp.full((13, 13), -jnp.inf, jnp.float32), k=1)
+    for b in (None, bias):
+        outs = {}
+        for layout in ("bhqk", "bqhk"):
+            m = MultiheadAttention(num_heads=4, attn_layout=layout)
+            params = m.init(jax.random.PRNGKey(0), x, b)
+            outs[layout], _ = m.apply(params, x, b)
+        np.testing.assert_allclose(np.asarray(outs["bqhk"]),
+                                   np.asarray(outs["bhqk"]),
+                                   rtol=2e-5, atol=2e-5)
