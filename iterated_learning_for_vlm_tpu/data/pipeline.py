@@ -489,7 +489,16 @@ def get_neg_wds_dataset(cfg, world_size=1, rank=0, tokenizer=None, seed=0) -> Da
 
 def get_unshuffled_wds_dataset(cfg, world_size=1, rank=0, tokenizer=None) -> DataInfo:
     """Unshuffled loader for visualization/analysis passes (reference
-    clip_dataset_wsd.py:443-506)."""
+    clip_dataset_wsd.py:443-506).
+
+    Defaults to the FLOAT32 wire: analysis consumers (tools/run_codebook_viz.py)
+    iterate ``DataInfo.dataloader`` directly without ``prefetch_to_device`` —
+    the only place the uint8 wire's device-side normalize runs — so the uint8
+    default would hand them raw 0-255 pixels.  The solver path opts back into
+    uint8 explicitly via ``data.train.wire_dtype``.
+    """
+    cfg = dict(cfg)
+    cfg.setdefault("wire_dtype", "float32")
     return get_wds_dataset(cfg, world_size, rank, tokenizer, shuffle=False)
 
 

@@ -83,6 +83,17 @@ class JitEncoder:
             params = serving_cast_params(params, jnp.dtype(weight_dtype))
         self.is_fdt = is_fdt
         self.tokenizer = tokenizer or get_tokenizer()
+        # an out-of-range token id turns into a SILENT NaN embedding (XLA
+        # gather is undefined out of bounds) — fail loudly instead.  The
+        # repo tokenizer's vocab is 49409 (DeCLIP lineage: CLIP's 49408 +
+        # ``<|mask|>``, data/tokenizer.py:6), a classic mismatch with models
+        # built at CLIP's 49408.
+        tok_vs = getattr(self.tokenizer, "vocab_size", None)
+        if tok_vs and tok_vs > int(model.text_cfg.vocab_size):
+            raise ValueError(
+                f"tokenizer vocab ({tok_vs}) exceeds the model's "
+                f"text embedding table ({model.text_cfg.vocab_size}); "
+                "out-of-range ids would gather garbage/NaN embeddings")
         self.batch_size = batch_size
         # Data-parallel eval over all local devices (the TPU-native form of
         # the reference's ``--distributed`` flag, cli.py:69 — there it splits

@@ -28,6 +28,7 @@ are *eval-compatibility* paths for third-party towers, not training paths
 """
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
@@ -139,13 +140,26 @@ class HFClipEncoder:
                 "pass PIL images or raw uint8 arrays to let the processor "
                 "resize, or resize before normalizing")
         if float(chunk.min()) >= 0.0:
-            # standardized (mean-subtracted) pixels always contain negatives;
-            # an all-non-negative float array is raw [0,1] or [0,255] data
-            raise ValueError(
-                "preprocessed array has no negative values — it looks like "
-                "raw [0,1]/[0,255] pixels, not mean-subtracted features; "
-                "pass uint8/PIL input instead, or apply the processor's "
-                "rescale+normalize first")
+            # standardized (mean-subtracted) pixels USUALLY contain negatives,
+            # but a batch of uniformly bright images (all channels above the
+            # dataset mean — white backgrounds at batch_size 1) is legitimately
+            # all-positive.  Only hard-reject when the range also looks like
+            # raw pixel data ([0,1] or [0,255]: max <= 1.01 or values near
+            # integers spanning >2); otherwise warn.
+            mx = float(chunk.max())
+            looks_raw = mx <= 1.01 or (
+                mx > 2.0 and float(np.abs(chunk - np.round(chunk)).max()) < 1e-3)
+            if looks_raw:
+                raise ValueError(
+                    "preprocessed array has no negative values and a raw-pixel "
+                    "value range — it looks like [0,1]/[0,255] pixels, not "
+                    "mean-subtracted features; pass uint8/PIL input instead, "
+                    "or apply the processor's rescale+normalize first")
+            warnings.warn(
+                "preprocessed image array has no negative values; if this is "
+                "raw pixel data the embeddings will be wrong (uniformly "
+                "bright standardized images can legitimately look like this)",
+                stacklevel=3)
 
     def _norm(self, feats, normalize: Optional[bool]):
         nrm = self.normalize if normalize is None else normalize

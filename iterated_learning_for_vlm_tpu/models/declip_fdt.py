@@ -140,15 +140,17 @@ class DeCLIPFDT(nn.Module):
                                   temperature=temperature)
         return sd_ft, out["words"]
 
-    # -- eval protocol (same surface as CLIPFDT for the benchmark harness) ---
-    def extract_img_sd_ft(self, images, sd_temperature=None):
-        t = self.fdt_cfg.sd_temperature if sd_temperature is None else sd_temperature
+    # -- eval protocol (same surface as CLIPFDT for the benchmark harness:
+    # the kwarg is ``temperature`` to match CLIPFDT's extract methods —
+    # eval/encode.py's JitEncoder passes it as a traced kwarg by that name) --
+    def extract_img_sd_ft(self, images, temperature=None):
+        t = self.fdt_cfg.sd_temperature if temperature is None else temperature
         patches = self.visual(images)["patches"]
         att, sd_ft = self.img_query(patches, self.space_dict, temperature=t)
         return att, sd_ft
 
-    def extract_txt_sd_ft(self, tokens, pad_mask=None, sd_temperature=None):
-        t = self.fdt_cfg.sd_temperature if sd_temperature is None else sd_temperature
+    def extract_txt_sd_ft(self, tokens, pad_mask=None, temperature=None):
+        t = self.fdt_cfg.sd_temperature if temperature is None else temperature
         out = self.text(tokens, pad_mask)
         att, sd_ft = self.txt_query(out["words"], self.space_dict, mask=pad_mask,
                                     temperature=t)

@@ -412,16 +412,20 @@ def fused_tiny_attention(
     # (head_group, sample_group) point can differ — swept separately
     assert heads % (head_group_bwd or head_group) == 0
     b, s, three_d = qkv.shape
-    # the [g*sg*Sp]^2 fp32 group mask must fit scoped VMEM (~16 MB on v5e);
-    # oversized tilings otherwise die in Mosaic with an opaque stack OOM
-    # (observed: g=4 sg=4 at S=77 -> 1280^2 mask = 6.6 MB operand + scratch
-    # blows the 16 MB budget).  Guard with an actionable error.
+    # the [g*sg*Sp]^2 fp32 group mask must fit scoped VMEM (~16 MB on v5e)
+    # ALONGSIDE the kernel's stack intermediates — the bwd body holds ~3 more
+    # rows^2 fp32 values live (logits, p, ds), so the budget per rows^2 block
+    # is ~16/4 MB.  Observed failure this models: g=4 sg=4 at S=77 ->
+    # rows=1280, 6.25 MB mask, Mosaic scoped-vmem OOM at 19.6 MB total.
+    # Guard at 4 MB (rows <= 1024) with an actionable error instead of the
+    # opaque Mosaic stack OOM.
     rows = max(head_group, head_group_bwd or head_group) * max(
         1, max(sample_group, sample_group_bwd or sample_group)) * _pad_seq(s)
-    if rows * rows * 4 > 8 * 1024 * 1024:
+    if rows * rows * 4 > 4 * 1024 * 1024:
         raise ValueError(
             f"fused_tiny_attention tiling too large: group mask would be "
-            f"[{rows}, {rows}] fp32 ({rows * rows * 4 / 2**20:.1f} MB) — "
+            f"[{rows}, {rows}] fp32 ({rows * rows * 4 / 2**20:.1f} MB) and the "
+            f"kernel stack holds ~3x that in logits/softmax intermediates — "
             f"reduce head_group x sample_group (S={s}, Sp={_pad_seq(s)})")
     assert three_d % (3 * heads) == 0
     sp = _pad_seq(s)

@@ -293,9 +293,10 @@ class Solver:
         sched_cfg = Config(self.config.lr_scheduler.to_dict())
         reset_cfg = self.config.get("reset", {}) or {}
         sched_cfg.kwargs.reset_steps = int(reset_cfg.get("reset_steps", 0)) if reset_cfg.get("enable", False) else 0
-        # step-executable cache key for reinitialize(): the schedule is the
-        # only thing that differs between IL and no-IL arms
-        self._sched_key = int(sched_cfg.kwargs.reset_steps)
+        # step-executable cache key for reinitialize(): the schedule (reset
+        # flavor + base LR) is the only thing that differs between arms
+        self._sched_key = (int(sched_cfg.kwargs.reset_steps),
+                           float(sched_cfg.kwargs.get("base_lr", 0.0)))
         self.lr_schedule = scheduler_entry(sched_cfg)
         self.max_iter = int(self.config.lr_scheduler.kwargs.get("max_iter", 0))
 
@@ -367,17 +368,22 @@ class Solver:
         )
 
     def reinitialize(self, seed: int, output_path: Optional[str] = None,
-                     exp_name: str = "run", reset_enable: Optional[bool] = None):
+                     exp_name: str = "run", reset_enable: Optional[bool] = None,
+                     lr: Optional[float] = None):
         """Re-draw params/optimizer/data from a new seed WITHOUT rebuilding
         the jitted train step (params/batches are traced arguments, so the
         compiled executable is reused).  Sweeping matched-seed arms in one
-        process (tools/il_effectiveness_ab.py: 10 arms) costs ONE remote
+        process (tools/il_effectiveness_ab.py: 15 arms) costs ONE remote
         compile instead of one per arm.  ``reset_enable`` flips the IL
         schedule between arms (the step function is identical either way —
-        IL transitions are host-side tree swaps)."""
+        IL transitions are host-side tree swaps); ``lr`` overrides the
+        schedule's base/warmup LR (the low-LR healthy-control arm kind)."""
         self.seed = seed
         if reset_enable is not None:
             self.config.reset["enable"] = bool(reset_enable)
+        if lr is not None:
+            self.config.lr_scheduler.kwargs["base_lr"] = float(lr)
+            self.config.lr_scheduler.kwargs["warmup_lr"] = float(lr)
         rng = jax.random.PRNGKey(seed)
         variables = (self._init_fn(rng) if self.batch_stats is None
                      else None)
@@ -390,14 +396,16 @@ class Solver:
         self._build_data()
         self._build_il()
         # the jitted step closes over the LR schedule, which differs between
-        # IL (re-warmup) and no-IL arms: cache one step executable per
-        # schedule flavor, so a 2-flavor sweep compiles exactly twice
+        # IL (re-warmup) and no-IL arms AND between base-LR flavors (the
+        # low-LR control): cache one step executable per schedule flavor, so
+        # an n-flavor sweep compiles exactly n times
         cache = getattr(self, "_step_cache", None)
         if cache is None:
             cache = {self._sched_key: (self.train_step, self.eval_step,
                                        self.lr_schedule)}
         rcfg = self.config.get("reset", {}) or {}
-        key = int(rcfg.get("reset_steps", 0)) if rcfg.get("enable", False) else 0
+        key = (int(rcfg.get("reset_steps", 0)) if rcfg.get("enable", False) else 0,
+               float(self.config.lr_scheduler.kwargs.get("base_lr", 0.0)))
         if key not in cache:
             self._build_lr_scheduler()
             cache[key] = (self.train_step, self.eval_step, self.lr_schedule)

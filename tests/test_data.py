@@ -236,3 +236,24 @@ def test_uint8_wire_bit_identical_to_float_wire(tmp_path):
         np.testing.assert_allclose(np.asarray(norm["image"]), bf["image"],
                                    rtol=3e-7, atol=3e-7)
         np.testing.assert_array_equal(b8["tokens"], bf["tokens"])
+
+
+def test_unshuffled_loader_defaults_to_float32_wire(tmp_path):
+    """ADVICE r4 #2: analysis consumers (tools/run_codebook_viz.py) iterate
+    the unshuffled loader WITHOUT prefetch_to_device — the only place the
+    uint8 wire's device-side normalize runs — so get_unshuffled_wds_dataset
+    must default to host-normalized float32 pixels (uint8 stays opt-in)."""
+    from iterated_learning_for_vlm_tpu.data.pipeline import (
+        get_unshuffled_wds_dataset,
+    )
+
+    shards = _make_shards(tmp_path, n_shards=1, per_shard=8)
+    base = {"data_path": shards, "transforms": "ONECROP", "image_size": 32,
+            "num_samples": 8, "workers": 1, "batch_size": 4}
+    d = get_unshuffled_wds_dataset(dict(base))
+    batch = next(iter(d.dataloader))
+    assert batch["image"].dtype == np.float32
+    assert float(batch["image"].min()) < 0.0  # mean-subtracted, not raw
+    # explicit opt-in still ships uint8
+    d8 = get_unshuffled_wds_dataset({**base, "wire_dtype": "uint8"})
+    assert next(iter(d8.dataloader))["image"].dtype == np.uint8

@@ -1,19 +1,26 @@
 #!/usr/bin/env python
-"""IL-effectiveness study on the compositional task (VERDICT r3 #2).
+"""IL-effectiveness study on the compositional task (VERDICT r3 #2, r4 #2/#8).
 
-v2 (round 4): makes the claim statistically real —
+v3 (round 5): de-confounds the claim —
 
 - >=5 MATCHED-SEED PAIRS (il_s{k} vs noil_s{k}, k=0..4): same data, same
   schedule, same init seed; only ``reset.enable`` differs.
-- schedule with >=4 resets (configs/clip_fdt_comp_il_tpu.yaml: resets at
-  400/600/800/1000, window ends 1200, train 1400).
+- schedule with >=4 resets (configs/clip_fdt_comp_il_tpu.yaml: 1400 steps,
+  resets fire at 300/450/600/750, reset window ends at 900, smooth 40).
 - probe extended to the full SugarCREPE contract-type structure (reference
   ``eval/sugar_crepe.py:13-63``): replace_{att,obj}_{unseen,seen} plus
   add_obj/add_att/swap_att/swap_obj/replace_rel
   (tools/make_compositional_data.py).
-- summary: per-split mean±std across seeds per arm type at the final step,
-  plus the matched-pair WIN-RATE (il > noil per seed) on the unseen-mean and
-  on every split — the statistic the n=2 round-3 study couldn't support.
+- a NON-COLLAPSING control arm kind ``noil_lowlr_s{k}`` (VERDICT r4 #2c):
+  the plain no-IL control at lr 0.0005 degenerates below chance late in
+  training at this scale (a systematic negative-caption preference), which
+  confounds the final-step comparison; the low-LR control (lr 0.0002, same
+  seeds/data/schedule length) stays healthy, so "IL wins" must also beat it.
+- summary v3 (VERDICT r4 #2a/b/#8): ``pairs`` counts COMPLETED pairs (both
+  arms scored at the final step — asserted), per-split mean±std per arm kind
+  at the final step AND at each arm's BEST step (max unseen-mean over its
+  checkpoints), matched-pair win-rates at final step, best step, and at
+  EVERY checkpoint step — robust to plateau-break timing variance.
 
 All arms run IN-PROCESS (one Solver per arm, sequential): every arm shares
 the jitted step/eval executables, so only the first arm pays the remote
@@ -45,11 +52,17 @@ SPLITS = ("replace_att_unseen", "replace_obj_unseen",
 UNSEEN_KEY = ("sugar-crepe-replace_att_unseen", "sugar-crepe-replace_obj_unseen")
 
 
+LOWLR = 0.0002  # healthy-control LR (the 0.0005 no-IL arm degenerates late)
+
+KINDS = ("il", "noil", "noil_lowlr")
+
+
 def arm_specs(pairs):
     out = {}
     for k in range(pairs):
         out[f"il_s{k}"] = {"reset": True, "seed": k}
         out[f"noil_s{k}"] = {"reset": False, "seed": k}
+        out[f"noil_lowlr_s{k}"] = {"reset": False, "seed": k, "lr": LOWLR}
     return out
 
 
@@ -103,7 +116,8 @@ def run_arm(name, spec, cfg, arm_dir):
                          exp_name=name, debug=True, seed=spec["seed"])
     else:
         _SOLVER.reinitialize(spec["seed"], output_path=arm_dir, exp_name=name,
-                             reset_enable=bool(spec["reset"]))
+                             reset_enable=bool(spec["reset"]),
+                             lr=spec.get("lr"))
     _SOLVER.train()
     print(f"arm {name}: trained in {time.time() - t0:.0f}s", flush=True)
     ck = ckpt_root(arm_dir)
@@ -129,65 +143,135 @@ def eval_ckpt(cfg_path, ckpt, step, data_dir, t_decay):
                                 splits=avail)
 
 
-def summarize(result, pairs):
-    """Per-split mean±std per arm type at the final step + pair win-rates."""
-    arms = result["arms"]
-    final_steps = [max(int(s) for s in a["steps"]) for a in arms.values()
-                   if a["steps"]]
-    if not final_steps:
-        return {}
-    fs = max(final_steps)
+def _unseen(m):
+    if not m or not all(u in m for u in UNSEEN_KEY):
+        return None
+    return float(np.mean([m[u] for u in UNSEEN_KEY]))
 
-    def metrics_at_final(name):
+
+def summarize(result, pairs_requested):
+    """v3 summary (VERDICT r4 #2a/b, #8): completed-pair accounting,
+    per-split mean±std per arm kind at the FINAL step and at each arm's BEST
+    step (max unseen-mean over its checkpoints), matched-pair win-rates at
+    final/best, and a per-checkpoint-step win-rate table."""
+    arms = result["arms"]
+    steps_of = {n: sorted(int(s) for s in a["steps"]) for n, a in arms.items()
+                if a["steps"]}
+    if not steps_of:
+        return {}
+    fs = max(s[-1] for s in steps_of.values())
+
+    def m_at(name, step):
         a = arms.get(name)
         if not a:
             return None
-        return a["steps"].get(str(fs)) or a["steps"].get(fs)
+        return a["steps"].get(str(step)) or a["steps"].get(step)
+
+    def best_of(name):
+        """(step, metrics) with max unseen-mean over the arm's checkpoints."""
+        cands = [(st, m_at(name, st)) for st in steps_of.get(name, ())]
+        cands = [(st, m) for st, m in cands if _unseen(m) is not None]
+        if not cands:
+            return None, None
+        return max(cands, key=lambda c: _unseen(c[1]))
 
     split_keys = sorted({k for a in arms.values()
                          for m in a["steps"].values() for k in m
                          if k != "sugar-crepe-mean"})
-    summary = {"final_step": fs, "pairs": pairs, "per_split": {},
-               "win_rate": {}, "unseen_mean": {}}
-    for kind in ("il", "noil"):
-        vals = {k: [] for k in split_keys}
-        unseen = []
-        for s in range(pairs):
-            m = metrics_at_final(f"{kind}_s{s}")
-            if not m:
-                continue
-            for k in split_keys:
-                if k in m:
-                    vals[k].append(m[k])
-            if all(u in m for u in UNSEEN_KEY):
-                unseen.append(float(np.mean([m[u] for u in UNSEEN_KEY])))
-        summary["per_split"][kind] = {
-            k: {"mean": float(np.mean(v)), "std": float(np.std(v)),
-                "n": len(v)} for k, v in vals.items() if v}
-        summary["unseen_mean"][kind] = {
-            "mean": float(np.mean(unseen)) if unseen else None,
-            "std": float(np.std(unseen)) if unseen else None, "n": len(unseen)}
+    completed = [k for k in range(pairs_requested)
+                 if m_at(f"il_s{k}", fs) and m_at(f"noil_s{k}", fs)]
+    summary = {"version": 3, "final_step": fs,
+               "pairs_requested": pairs_requested, "pairs": len(completed),
+               "completed_pair_seeds": completed,
+               "per_split": {}, "per_split_best": {}, "best_step": {},
+               "win_rate": {}, "win_rate_best": {}, "per_step_win_rate": {},
+               "unseen_mean": {}, "unseen_mean_best": {}}
+    assert summary["pairs"] == len(completed)  # VERDICT r4 #8 contract
 
-    # matched-pair win rates
-    for key in split_keys + ["unseen_mean"]:
-        wins = ties = total = 0
-        for s in range(pairs):
-            mi, mn = metrics_at_final(f"il_s{s}"), metrics_at_final(f"noil_s{s}")
-            if not mi or not mn:
-                continue
-            if key == "unseen_mean":
-                vi = float(np.mean([mi[u] for u in UNSEEN_KEY]))
-                vn = float(np.mean([mn[u] for u in UNSEEN_KEY]))
-            elif key in mi and key in mn:
-                vi, vn = mi[key], mn[key]
-            else:
-                continue
-            total += 1
-            wins += vi > vn
-            ties += vi == vn
+    for kind in KINDS:
+        finals, bests, bsteps = [], [], []
+        for s in range(pairs_requested):
+            mf = m_at(f"{kind}_s{s}", fs)
+            if mf:
+                finals.append(mf)
+            bs, mb = best_of(f"{kind}_s{s}")
+            if mb:
+                bests.append(mb)
+                bsteps.append(bs)
+        for label, pool, dest, udest in (
+                ("final", finals, "per_split", "unseen_mean"),
+                ("best", bests, "per_split_best", "unseen_mean_best")):
+            stats = {}
+            for k in split_keys:
+                v = [m[k] for m in pool if k in m]
+                if v:
+                    stats[k] = {"mean": float(np.mean(v)),
+                                "std": float(np.std(v)), "n": len(v)}
+            summary[dest][kind] = stats
+            u = [x for x in (_unseen(m) for m in pool) if x is not None]
+            summary[udest][kind] = {
+                "mean": float(np.mean(u)) if u else None,
+                "std": float(np.std(u)) if u else None, "n": len(u)}
+        if bsteps:
+            summary["best_step"][kind] = {
+                "steps": bsteps, "mean": float(np.mean(bsteps))}
+
+    def win_table(get_il, get_ctl):
+        """Matched-pair win rates of IL over a control arm getter."""
+        table = {}
+        for key in split_keys + ["unseen_mean"]:
+            wins = ties = total = 0
+            for s in range(pairs_requested):
+                mi, mn = get_il(s), get_ctl(s)
+                if not mi or not mn:
+                    continue
+                if key == "unseen_mean":
+                    vi, vn = _unseen(mi), _unseen(mn)
+                    if vi is None or vn is None:
+                        continue
+                elif key in mi and key in mn:
+                    vi, vn = mi[key], mn[key]
+                else:
+                    continue
+                total += 1
+                wins += vi > vn
+                ties += vi == vn
+            if total:
+                table[key] = {"il_wins": wins, "ties": ties, "n": total}
+        return table
+
+    for ctl in ("noil", "noil_lowlr"):
+        summary["win_rate"][ctl] = win_table(
+            lambda s: m_at(f"il_s{s}", fs), lambda s, c=ctl: m_at(f"{c}_s{s}", fs))
+        summary["win_rate_best"][ctl] = win_table(
+            lambda s: best_of(f"il_s{s}")[1],
+            lambda s, c=ctl: best_of(f"{c}_s{s}")[1])
+
+    # per-checkpoint-step win rate (il vs noil) on the unseen-mean: robust to
+    # plateau-break timing variance (VERDICT r4 weak #5)
+    all_steps = sorted({st for s in steps_of.values() for st in s})
+    for st in all_steps:
+        wins = total = 0
+        vals = {"il": [], "noil": [], "noil_lowlr": []}
+        for s in range(pairs_requested):
+            vi = _unseen(m_at(f"il_s{s}", st))
+            vn = _unseen(m_at(f"noil_s{s}", st))
+            vl = _unseen(m_at(f"noil_lowlr_s{s}", st))
+            if vi is not None:
+                vals["il"].append(vi)
+            if vn is not None:
+                vals["noil"].append(vn)
+            if vl is not None:
+                vals["noil_lowlr"].append(vl)
+            if vi is not None and vn is not None:
+                total += 1
+                wins += vi > vn
+        entry = {k: {"mean": float(np.mean(v)), "n": len(v)}
+                 for k, v in vals.items() if v}
         if total:
-            summary["win_rate"][key] = {"il_wins": wins, "ties": ties,
-                                        "n": total}
+            entry["il_wins"] = wins
+            entry["n_pairs"] = total
+        summary["per_step_win_rate"][st] = entry
     return summary
 
 
@@ -211,24 +295,39 @@ def main():
         args.data, "train", "{00000..00007}.tar")
     os.makedirs(args.out, exist_ok=True)
     dest = os.path.join(REPO, "results", "il_effectiveness_ab.json")
-    result = {"config": args.config, "data": args.data, "version": 2,
+    result = {"config": args.config, "data": args.data, "version": 3,
               "arms": {}}
     if os.path.isfile(dest):
         try:
             prior = json.load(open(dest))
-            if prior.get("version") == 2:  # round-3 v1 arms are not mergeable
+            # v2 arms merge cleanly into v3 (arm format unchanged; v3 only
+            # adds the lowlr kind + a richer summary); v1 arms do not.
+            if prior.get("version") in (2, 3):
                 result["arms"].update(prior.get("arms", {}))
         except Exception:
             pass
 
+    base_lr = float(base_cfg["lr_scheduler"]["kwargs"]["base_lr"])
     specs = arm_specs(args.pairs)
     names = args.arms.split(",") if args.arms else list(specs)
     for name in names:
         spec = specs[name]
+        # every spec carries an explicit lr: reinitialize() must RESTORE the
+        # base lr after a lowlr arm, not inherit the mutated config
+        spec.setdefault("lr", base_lr)
         cfg = copy.deepcopy(base_cfg)
         cfg["reset"]["enable"] = bool(spec["reset"])
+        cfg["lr_scheduler"]["kwargs"]["base_lr"] = spec["lr"]
+        cfg["lr_scheduler"]["kwargs"]["warmup_lr"] = spec["lr"]
         arm_dir = os.path.join(args.out, name)
         fs = final_step_of(cfg)
+        prior_arm = result["arms"].get(name)
+        if (not args.eval_only and prior_arm
+                and any(int(s) == fs for s in prior_arm["steps"])):
+            print(f"arm {name}: already scored through step {fs}, keeping "
+                  "prior metrics", flush=True)
+            result["summary"] = summarize(result, args.pairs)
+            continue
         ck = reusable(arm_dir, cfg, fs) if (
             args.eval_only or os.path.isdir(arm_dir)) else None
         if ck is None:
@@ -258,18 +357,38 @@ def main():
 
     s = result.get("summary", {})
     if s:
-        print(f"\n=== final-step ({s['final_step']}) summary over "
-              f"{s['pairs']} matched-seed pairs ===")
-        for k in sorted(s.get("win_rate", {})):
-            w = s["win_rate"][k]
-            label = k.replace("sugar-crepe-", "")
-            mi = s["per_split"].get("il", {}).get(k) or s["unseen_mean"].get("il")
-            mn = (s["per_split"].get("noil", {}).get(k)
-                  or s["unseen_mean"].get("noil"))
-            if mi and mn and mi.get("mean") is not None:
-                print(f"{label:>22}: il {mi['mean']:.3f}±{mi['std']:.3f} "
-                      f"vs noil {mn['mean']:.3f}±{mn['std']:.3f}  "
-                      f"wins {w['il_wins']}/{w['n']}")
+        print(f"\n=== summary: {s['pairs']}/{s['pairs_requested']} completed "
+              f"matched-seed pairs (final step {s['final_step']}) ===")
+        for ctl in ("noil", "noil_lowlr"):
+            for when, wr_key, ps_key, um_key in (
+                    ("final", "win_rate", "per_split", "unseen_mean"),
+                    ("best", "win_rate_best", "per_split_best",
+                     "unseen_mean_best")):
+                table = s.get(wr_key, {}).get(ctl, {})
+                if not table:
+                    continue
+                print(f"-- il vs {ctl} @ {when} step --")
+                for k in sorted(table):
+                    w = table[k]
+                    label = k.replace("sugar-crepe-", "")
+                    mi = (s[ps_key].get("il", {}).get(k)
+                          or s[um_key].get("il"))
+                    mn = (s[ps_key].get(ctl, {}).get(k)
+                          or s[um_key].get(ctl))
+                    if mi and mn and mi.get("mean") is not None:
+                        print(f"{label:>22}: il {mi['mean']:.3f}±{mi['std']:.3f}"
+                              f" vs {ctl} {mn['mean']:.3f}±{mn['std']:.3f}  "
+                              f"wins {w['il_wins']}/{w['n']}")
+        psw = s.get("per_step_win_rate", {})
+        if psw:
+            print("-- unseen-mean by step --")
+            for st in sorted(psw, key=int):
+                e = psw[st]
+                parts = [f"{k} {e[k]['mean']:.3f}(n={e[k]['n']})"
+                         for k in KINDS if k in e]
+                if "il_wins" in e:
+                    parts.append(f"il wins {e['il_wins']}/{e['n_pairs']}")
+                print(f"  step {st:>5}: " + "  ".join(parts))
     print(f"\nartifact: {dest}")
 
 
