@@ -222,6 +222,95 @@ def _bwd_kernel(qkv_ref, *refs, heads, group, scale, sample_group,
     jax.lax.fori_loop(0, bb // sg, body, 0)
 
 
+def _bwd_kernel_fused3(qkv_ref, *refs, heads, group, scale, sample_group,
+                       has_bias=False):
+    """Backward with the dot count cut 5 -> 3 (the kernel body is
+    issue-overhead-bound at tiny S, so fewer/bigger MXU dots win even at
+    2x block-diagonal FLOP waste):
+
+      dot1  [q | do] @ [[k,0],[0,v]]^T          -> [logits | dp]  (rows x 2rows)
+      dot2  [ds | p]^T @ [q | do]               -> [[dk*, ds^T do], [p^T q, dv]]
+      dot3  ds @ k                               -> dq
+
+    dot2 contracts over the QUERY index via dot_general dim-0 contraction
+    (no explicit transpose); its off-diagonal blocks are discarded waste.
+    Operand concatenations are built directly in the VMEM stack scratches:
+    ``lhs`` holds q|do column blocks, ``kv`` holds the block-diagonal k/v
+    (its zero blocks are zeroed once per program and never overwritten), and
+    ``dsp`` holds ds|p column blocks."""
+    bias3_ref = refs[0] if has_bias else None
+    mask_ref, dout_ref, dqkv_ref, lhs_scr, kv_scr, dsp_scr = (
+        refs[1 if has_bias else 0:])
+    bb, rows, three_d = qkv_ref.shape
+    d = three_d // 3
+    hd = d // heads
+    cols = group * hd
+    sg = sample_group
+    nblk = group * sg
+    sp = lhs_scr.shape[0] // nblk
+    R = nblk * sp
+    # zero the scratches once: padded-row tails AND kv's off-diagonal zero
+    # blocks must be exactly 0 (they are never stored to afterwards)
+    lhs_scr[...] = jnp.zeros_like(lhs_scr)
+    kv_scr[...] = jnp.zeros_like(kv_scr)
+
+    def _fill(dst, dst_col, src_ref, b, base, row0=0, bias=None):
+        for si in range(sg):
+            for h in range(group):
+                blk = si * group + h
+                sl = src_ref[b + si, :, pl.ds(base + h * hd, hd)]
+                if bias is not None:
+                    sl = sl + bias[0, pl.ds(base + h * hd, hd)].astype(
+                        sl.dtype)[None, :]
+                dst[row0 + blk * sp:row0 + blk * sp + rows,
+                    dst_col:dst_col + hd] = sl
+
+    def body(i, _):
+        b = i * sg
+        for gi in range(heads // group):
+            lo = gi * cols
+            _fill(lhs_scr, 0, qkv_ref, b, lo, bias=bias3_ref)        # q
+            _fill(lhs_scr, hd, dout_ref, b, lo)                      # do
+            _fill(kv_scr, 0, qkv_ref, b, d + lo, bias=bias3_ref)     # k
+            _fill(kv_scr, hd, qkv_ref, b, 2 * d + lo, row0=R,
+                  bias=bias3_ref)                                    # v
+            lhs = lhs_scr[...]
+            # dot1: [R, 2hd] x [2R, 2hd]^T -> [R, 2R] = [q k^T | do v^T]
+            sc2 = jax.lax.dot_general(
+                lhs, kv_scr[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            logits = sc2[:, :R] * scale + mask_ref[...]
+            dp = sc2[:, R:]
+            p = jax.nn.softmax(logits, axis=-1)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsc = ds.astype(qkv_ref.dtype)
+            dsp_scr[:, 0:R] = dsc
+            dsp_scr[:, R:2 * R] = p.astype(qkv_ref.dtype)
+            # dot2: contract query index -> [2R, 2hd]; [0:R, 0:hd] = ds^T q
+            # (-> dk after scale), [R:2R, hd:2hd] = p^T do (= dv)
+            both = jax.lax.dot_general(
+                dsp_scr[...], lhs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # dot3: dq = ds @ k
+            dq = jax.lax.dot_general(
+                dsc, kv_scr[0:R, 0:hd], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dt = dqkv_ref.dtype
+            dqv = dq.astype(dt)
+            dkv = (both[0:R, 0:hd] * scale).astype(dt)
+            dvv = both[R:2 * R, hd:2 * hd].astype(dt)
+            for si in range(sg):
+                for h in range(group):
+                    rs = slice((si * group + h) * sp,
+                               (si * group + h) * sp + rows)
+                    dqkv_ref[b + si, :, pl.ds(lo + h * hd, hd)] = dqv[rs, :]
+                    dqkv_ref[b + si, :, pl.ds(d + lo + h * hd, hd)] = dkv[rs, :]
+                    dqkv_ref[b + si, :, pl.ds(2 * d + lo + h * hd, hd)] = dvv[rs, :]
+        return 0
+
+    jax.lax.fori_loop(0, bb // sg, body, 0)
+
+
 def _pick_bb(b: int, bb: int) -> int:
     while bb > 1 and b % bb:
         bb //= 2
@@ -277,7 +366,7 @@ def _fwd_local(qkv, bias, bias3, *, heads, group, bb, sg):
     )(*operands)
 
 
-def _bwd_local(qkv, bias, bias3, dout, *, heads, group, bb, sg):
+def _bwd_local(qkv, bias, bias3, dout, *, heads, group, bb, sg, fuse3=False):
     b, s, three_d = qkv.shape
     sp = _pad_seq(s)
     bb, sg = _local_tiling(b, bb, sg)
@@ -299,15 +388,24 @@ def _bwd_local(qkv, bias, bias3, dout, *, heads, group, bb, sg):
     in_specs.append(pl.BlockSpec((bb, s, d), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(dout)
+    if fuse3:
+        R = group * sg * sp
+        kernel = _bwd_kernel_fused3
+        scratch = [pltpu.VMEM((R, 2 * hd), qkv.dtype),      # lhs = [q | do]
+                   pltpu.VMEM((2 * R, 2 * hd), qkv.dtype),  # kv block-diag
+                   pltpu.VMEM((R, 2 * R), qkv.dtype)]       # [ds | p]
+    else:
+        kernel = _bwd_kernel
+        scratch = _scratch(4, sp, group * sg, hd, qkv.dtype)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=heads, group=group, scale=scale,
+        functools.partial(kernel, heads=heads, group=group, scale=scale,
                           sample_group=sg, has_bias=has_bias),
         out_shape=jax.ShapeDtypeStruct((b, s, three_d), qkv.dtype),
         grid=(b // bb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bb, s, three_d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=_scratch(4, sp, group * sg, hd, qkv.dtype),
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(*operands)
 
@@ -332,30 +430,31 @@ def _fwd(qkv, bias, bias3, *, heads, group, bb, sg):
     return batch_partitioned(inner, batch_args=(0,))(qkv, bias, bias3)
 
 
-def _bwd(qkv, bias, bias3, dout, *, heads, group, bb, sg):
+def _bwd(qkv, bias, bias3, dout, *, heads, group, bb, sg, fuse3=False):
     from .partitioning import batch_partitioned
 
     if bias3 is None:
-        inner = lambda q_, b_, d_: _bwd_local(q_, b_, None, d_, heads=heads, group=group, bb=bb, sg=sg)  # noqa: E731
+        inner = lambda q_, b_, d_: _bwd_local(q_, b_, None, d_, heads=heads, group=group, bb=bb, sg=sg, fuse3=fuse3)  # noqa: E731
         return batch_partitioned(inner, batch_args=(0, 2))(qkv, bias, dout)
-    inner = lambda q_, b_, b3_, d_: _bwd_local(q_, b_, b3_, d_, heads=heads, group=group, bb=bb, sg=sg)  # noqa: E731
+    inner = lambda q_, b_, b3_, d_: _bwd_local(q_, b_, b3_, d_, heads=heads, group=group, bb=bb, sg=sg, fuse3=fuse3)  # noqa: E731
     return batch_partitioned(inner, batch_args=(0, 3))(qkv, bias, bias3, dout)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _attend(qkv, bias, bias3, heads, group, bb, sg, group_bwd, sg_bwd):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _attend(qkv, bias, bias3, heads, group, bb, sg, group_bwd, sg_bwd, fuse3):
     return _fwd(qkv, bias, bias3, heads=heads, group=group, bb=bb, sg=sg)
 
 
-def _attend_fwd(qkv, bias, bias3, heads, group, bb, sg, group_bwd, sg_bwd):
+def _attend_fwd(qkv, bias, bias3, heads, group, bb, sg, group_bwd, sg_bwd,
+                fuse3):
     return (_fwd(qkv, bias, bias3, heads=heads, group=group, bb=bb, sg=sg),
             (qkv, bias, bias3))
 
 
-def _attend_bwd(heads, group, bb, sg, group_bwd, sg_bwd, res, g):
+def _attend_bwd(heads, group, bb, sg, group_bwd, sg_bwd, fuse3, res, g):
     qkv, bias, bias3 = res
     dqkv = _bwd(qkv, bias, bias3, g.astype(qkv.dtype), heads=heads,
-                group=group_bwd, bb=bb, sg=sg_bwd)
+                group=group_bwd, bb=bb, sg=sg_bwd, fuse3=fuse3)
     if bias3 is None:
         return dqkv, None, None
     # the absorbed in_proj bias sees every (sample, position) once, so its
@@ -377,6 +476,7 @@ def fused_tiny_attention(
     head_group_bwd: Optional[int] = None,
     sample_group_bwd: Optional[int] = None,
     qkv_bias: Optional[jnp.ndarray] = None,
+    bwd_fuse3: bool = False,
 ) -> jnp.ndarray:
     """Multi-head self-attention on packed QKV for tiny sequence lengths.
 
@@ -444,7 +544,8 @@ def fused_tiny_attention(
                    max(1, sample_group),
                    head_group_bwd if head_group_bwd is not None else head_group,
                    max(1, sample_group_bwd if sample_group_bwd is not None
-                       else sample_group))
+                       else sample_group),
+                   bwd_fuse3)
 
 
 def xla_attention_reference(qkv: jnp.ndarray, heads: int,

@@ -71,17 +71,68 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: put_global(x, sh), tree)
 
 
+def data_rank_world(mesh: Mesh) -> tuple:
+    """(rank, world) for the DATA-LOADING split on a possibly tp-spanning
+    multi-process mesh.
+
+    When ``model_parallel`` exceeds the per-process device count, a dp row
+    spans several processes: those processes' devices all hold the SAME
+    batch shard (``P('data')`` replicates over the model axis), so they
+    must load IDENTICAL data — the loader split keys on the dp row, not
+    the process id.  Conversely one process may own several dp rows (the
+    single-process virtual-mesh case), in which case its loader covers all
+    of them.  Returns the process's rank within the ``world`` distinct
+    loader streams; same-row processes get the same rank (their seeded
+    loaders then reproduce the same batches bit-for-bit).
+
+    Reference contrast: torch DDP ties loader rank to process rank
+    (``split_by_node``, clip_dataset_wsd.py:158-240) because it has no
+    tensor parallelism; this is the SPMD generalization."""
+    if jax.process_count() == 1:
+        return 0, 1
+    grid = mesh.devices  # (data, model)
+    pid = jax.process_index()
+    rows = sorted({r for r in range(grid.shape[0])
+                   if any(d.process_index == pid for d in grid[r].flat)})
+    assert rows == list(range(rows[0], rows[0] + len(rows))), (
+        "non-contiguous data-axis rows per process", rows)
+    world = grid.shape[0] // len(rows)
+    return rows[0] // len(rows), world
+
+
 def host_local_to_global(batch: Any, mesh: Mesh) -> Any:
     """Per-process local batch chunks -> one globally batch-sharded array.
 
-    The multi-host ingestion contract (README runbook): every host's loader
-    reads a disjoint shard split (``split_shards(rank=process_index)``) and
-    contributes its rows of the global batch; this assembles them without
-    any cross-host copy (``jax.make_array_from_process_local_data``).
-    Works single-process too (equivalent to :func:`shard_batch`)."""
+    The multi-host ingestion contract (README runbook): every loader stream
+    reads a disjoint shard split (``split_shards(rank=data_rank)``) and
+    contributes its rows of the global batch.  Assembly places each
+    addressable device's exact global slice (``addressable_devices_
+    indices_map``) from the process-local rows — this covers plain dp
+    (process-disjoint rows, no copy) AND tp-spanning-process meshes, where
+    devices in the same dp row need the FULL local batch replicated (the
+    same-row processes loaded identical data, so every device's slice is
+    locally available by construction).  Works single-process too
+    (equivalent to :func:`shard_batch`)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
-        batch)
+    rank, world = data_rank_world(mesh)
+
+    def conv(x):
+        x = np.asarray(x)
+        g0 = x.shape[0] * world
+        gshape = (g0,) + x.shape[1:]
+        off = rank * x.shape[0]
+        devs, arrs = [], []
+        for d, idx in sh.addressable_devices_indices_map(gshape).items():
+            s0 = idx[0]
+            start = 0 if s0.start is None else int(s0.start)
+            stop = g0 if s0.stop is None else int(s0.stop)
+            assert 0 <= start - off and stop - off <= x.shape[0], (
+                "device slice outside the process-local rows: loader split "
+                "and mesh layout disagree", start, stop, off, x.shape[0])
+            devs.append(d)
+            arrs.append(jax.device_put(x[start - off:stop - off], d))
+        return jax.make_array_from_single_device_arrays(gshape, sh, arrs)
+
+    return jax.tree.map(conv, batch)
 
 

@@ -225,6 +225,13 @@ class Solver:
 
     def _build_data(self):
         dcfg = self.config.data.train
+        # Loader split rank: keyed on the mesh's DATA axis, not the process
+        # id — when tensor parallelism spans processes (model_parallel >
+        # local device count), same-dp-row processes must load IDENTICAL
+        # batches (parallel/mesh.py:data_rank_world).  Equals
+        # (process_index, process_count) on every dp-only layout.
+        from ..parallel.mesh import data_rank_world
+        data_rank, data_world = data_rank_world(self.mesh)
         # recipe-driven batch extras: second view for DeCLIP/DeFILIP/SLIP,
         # masked tokens when the model has an MLM branch
         two_views = self.recipe in ("declip", "defilip", "slip")
@@ -246,28 +253,28 @@ class Solver:
                 two_views=bool(dcfg.get("two_views", False)),
                 mask_type=dcfg.get("mask_type"),
                 # disjoint per-host streams + class partitions
-                rank=jax.process_index(),
-                world_size=jax.process_count(),
+                rank=data_rank,
+                world_size=data_world,
             )
             self.train_data = None
             self._synthetic = data
             self.num_batches_per_epoch = data.num_batches
         else:
             self._synthetic = None
-            # Multi-host: each host process loads a disjoint shard split
+            # Multi-host: each loader stream reads a disjoint shard split
             # (reference ``split_by_node``, clip_dataset_wsd.py:158-240).
-            # ``batch_size`` in the config is per-host; the sizing math uses
-            # the process count so every host agrees on num_batches/epoch.
-            # crops must match the tower (reference hard-codes 224; explicit
-            # data.train.image_size wins)
+            # ``batch_size`` in the config is per-stream; the sizing math
+            # uses the stream count so every host agrees on
+            # num_batches/epoch.  crops must match the tower (reference
+            # hard-codes 224; explicit data.train.image_size wins)
             if "image_size" not in dcfg:
                 dcfg["image_size"] = int(self.model.vision_cfg.input_resolution)
             if "context_length" not in dcfg:
                 dcfg["context_length"] = int(self.model.text_cfg.context_length)
             self.train_data = get_wds_dataset(
                 dcfg,
-                world_size=jax.process_count(),
-                rank=jax.process_index(),
+                world_size=data_world,
+                rank=data_rank,
                 tokenizer=get_tokenizer(),
                 seed=self.seed,
             )

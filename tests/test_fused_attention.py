@@ -229,3 +229,40 @@ def test_group_mask_jit_matches_eager_small_padded_seq():
     ref = xla_attention_reference(qkv, 2, bias)
     got = jax.jit(lambda x: fused_tiny_attention(x, 2, bias=bias, head_group=2))(qkv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("shape,causal,group,sg,qb", [
+    ((4, 50, 12, 8), False, 2, 2, False),
+    ((4, 16, 4, 8), True, 2, 1, True),
+    pytest.param((4, 77, 8, 8), True, 2, 2, True, marks=pytest.mark.slow),
+])
+def test_bwd_fuse3_matches_5dot_backward(shape, causal, group, sg, qb):
+    """The 3-dot backward body (``bwd_fuse3``: [q|do] @ blockdiag(k,v)^T then
+    [ds|p]^T @ [q|do]) computes the same math as the 5-dot body in the same
+    precisions; only the contraction widths differ (zero blocks fold into
+    the accumulations), so values agree to fp32 reassociation roundoff."""
+    b, s, h, hd = shape
+    d = h * hd
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    qkv = jax.random.normal(k1, (b, s, 3 * d), jnp.float32)
+    b3 = jax.random.normal(k2, (3 * d,), jnp.float32) if qb else None
+    bias = _causal(s) if causal else None
+
+    def loss(x, bb_, fuse3):
+        return jnp.sum(jnp.sin(fused_tiny_attention(
+            x, h, bias=bias, head_group=group, batch_block=4,
+            sample_group=sg, qkv_bias=bb_, bwd_fuse3=fuse3)))
+
+    argnums = (0, 1) if qb else (0,)
+    g_old = jax.jit(jax.grad(lambda x, bb_: loss(x, bb_, False),
+                             argnums=argnums))(qkv, b3)
+    g_new = jax.jit(jax.grad(lambda x, bb_: loss(x, bb_, True),
+                             argnums=argnums))(qkv, b3)
+    for go, gn in zip(g_old, g_new):
+        np.testing.assert_allclose(np.asarray(go), np.asarray(gn),
+                                   atol=1e-5, rtol=1e-5)
+    g_ref = jax.grad(lambda x, bb_: jnp.sum(jnp.sin(xla_attention_reference(
+        x + (bb_ if qb else 0.0), h, bias))), argnums=argnums)(qkv, b3)
+    for gn, gr in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(gn), np.asarray(gr),
+                                   atol=2e-4, rtol=2e-4)

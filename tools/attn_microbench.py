@@ -143,6 +143,40 @@ def sweep_xla_variants(name, b, s, heads, hd, causal):
               f"fwd+bwd {timeit(fb, qkv):7.3f} ms", flush=True)
 
 
+def sweep_fuse3(name, b, s, heads, hd, causal, configs):
+    """A/B the 5-dot vs 3-dot backward kernel bodies (round 5): same fwd,
+    bwd_fuse3 flips the backward to the block-concatenated 3-dot form."""
+    d = heads * hd
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * d)), jnp.bfloat16)
+    bias = (jnp.triu(jnp.full((s, s), -jnp.inf, jnp.float32), k=1)
+            if causal else None)
+
+    def grad_of(f):
+        return jax.jit(jax.grad(lambda x: jnp.sum(f(x).astype(jnp.float32))))
+
+    print(f"-- {name} fuse3 A/B: B={b} S={s} H={heads} hd={hd} causal={causal}")
+    fbx = grad_of(lambda x: xla_attention_reference(x, heads, bias))
+    print(f"   xla          : fwd+bwd {timeit(fbx, qkv):7.3f} ms")
+    for cfg in configs:
+        g, sg = cfg[:2]
+        bb = cfg[2] if len(cfg) > 2 else 8
+        for fuse3 in (False, True):
+            fb = grad_of(lambda x, g=g, sg=sg, bb=bb, f3=fuse3:
+                         fused_tiny_attention(
+                             x, heads, bias=bias, head_group=g,
+                             sample_group=sg, batch_block=bb,
+                             bwd_fuse3=f3))
+            try:
+                ms = timeit(fb, qkv)
+            except Exception as e:  # VMEM guard / Mosaic OOM
+                print(f"   g={g:<2} sg={sg:<2} bb={bb:<3} fuse3={int(fuse3)}: "
+                      f"FAIL {type(e).__name__}", flush=True)
+                continue
+            print(f"   g={g:<2} sg={sg:<2} bb={bb:<3} fuse3={int(fuse3)}: "
+                  f"fwd+bwd {ms:7.3f} ms", flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "vision"
     if which == "vision":
@@ -154,6 +188,12 @@ if __name__ == "__main__":
     elif which == "xla77":
         sweep_xla_variants("text77", 256, 77, 8, 64, True)
         sweep_xla_variants("vision50", 256, 50, 12, 64, False)
+    elif which == "fuse3":
+        sweep_fuse3("text77", 256, 77, 8, 64, True,
+                    [(2, 2), (2, 4), (4, 2), (2, 2, 16), (2, 4, 16),
+                     (8, 1), (4, 1), (2, 1)])
+        sweep_fuse3("vision50", 256, 50, 12, 64, False,
+                    [(2, 2), (4, 2), (2, 4), (4, 1)])
     elif which == "text77":
         # round-4 recheck at S=77 incl. large fused groups + batch_block
         sweep("text", 256, 77, 8, 64, True,

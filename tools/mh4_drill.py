@@ -1,0 +1,277 @@
+#!/usr/bin/env python
+"""4-process dp2 x tp2 cluster drill (VERDICT r4 next-round #4).
+
+Scales the real-cluster rehearsal past 2 processes AND onto the tensor-
+parallel axis.  The riskiest new machinery: when ``model_parallel`` exceeds
+the per-process device count, a dp row SPANS processes — the loader split
+must key on the dp row (same-row processes feed identical batches,
+``parallel/mesh.py:data_rank_world``) and the global-batch assembly must
+replicate each row's batch shard onto every device of that row
+(``host_local_to_global`` via exact per-device global slices).
+
+Legs (all on the SAME (data=2, model=2) mesh — identical global program):
+  T2: 2 processes x 2 CPU devices (tp INSIDE each process) — the baseline
+      layout.  12 steps, synced context buckets, IL reset at step 8,
+      checkpoints every 2 steps.
+  T4: 4 processes x 1 CPU device (tp ACROSS processes) — same config.
+      Assert: per-step losses identical across all 4 processes AND
+      byte-identical to T2's (moving the tp axis across the process
+      boundary changes nothing); synced-bucket + IL-reset lines present.
+  T4R: 4 fresh processes resume T4 from its MID-EPOCH step-4 checkpoint,
+      cross the step-8 IL reset, run to 12.  Assert: losses reproduce T4
+      steps 5-12 exactly; final checkpoint bit-identical to T4's.
+
+Bit-identity across T2/T4 is meaningful BECAUSE the mesh shape is shared:
+same XLA program, same loader streams (2 dp rows -> 2 streams either way),
+same reduction trees.  A 1-process leg is NOT compared bit-for-bit: with
+one process the loader contract collapses to a single stream (the
+reference's per-node split semantics, clip_dataset_wsd.py:158-240), which
+composes different global batches — topology-equivalence for the compiled
+step itself is covered by ``__graft_entry__.dryrun_multichip``.
+
+Artifact: results/mh4_drill.json.  Standalone (NOT under pytest: 4
+concurrent cold compiles on a small box; see tools/mh_full_drill.py).
+Reference being proven: run.sh:5-17 multi-node launch semantics extended
+to the tp axis the reference never had.
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CONFIG = """\
+model:
+    type: clip_fdt_vitb32
+    kwargs:
+        image_encode: {{embed_dim: 32, width: 64, layers: 2, heads: 2,
+                       input_resolution: 32, patch_size: 16}}
+        text_encode: {{embed_dim: 32, width: 64, heads: 2, layers: 2,
+                      context_length: 16}}
+        fdt: {{sd_temperature: 100, att_func_type: 'sparsemax',
+              pool_type: 'max', sd_num: 128, sd_dim: 32, raw_img_ft_dim: 64,
+              raw_txt_ft_dim: 64, sparsemax_method: 'bisect'}}
+
+grad_clip: {{type: logit_scale_param_value, value: 3, max_value: 6}}
+
+optimizer:
+    type: AdamW
+    kwargs: {{lr: 0.0005, weight_decay: 0.1, betas: [0.9, 0.98],
+             eps: 0.00000001}}
+    pconfig:
+        ln_w: {{weight_decay: 0}}
+        ln_b: {{weight_decay: 0}}
+        bias: {{weight_decay: 0}}
+        logit_scale: {{weight_decay: 0}}
+
+lr_scheduler:
+    type: Cosine
+    kwargs: {{base_lr: 0.0005, warmup_lr: 0.005, min_lr: 0.0,
+             warmup_steps: 2, max_iter: 12, reset_steps: 4}}
+
+parallel: {{model_parallel: 2}}
+
+data:
+    train:
+        epoch: 2
+        data_path: "{shards}/{{00000..00003}}.tar"
+        transforms: ONECROP
+        num_samples: 96
+        num_shards: 4
+        workers: 1
+        batch_size: 8         # per dp-row loader stream; global 16
+        image_size: 32
+        context_length: 16
+        context_buckets: [8, 16]
+        context_buckets_sync: true
+
+saver: {{print_freq: 1, val_freq: 0, save_freq: 2, save_many: False,
+        async_save: true}}
+
+reset:
+    enable: True
+    reset_steps: 4
+    reset_nums: 3     # active window (4, 12): reset fires at step 8
+    smooth_steps: 2
+    distil_steps: 0
+    semantics: reference
+    reset_optimizer_state: true
+    freeze_vision_during_smooth: true
+"""
+
+ITER_RE = re.compile(r"Iter \[(\d+)/\d+\] loss ([0-9.]+)")
+
+
+def launch(cfg_path, out_dir, port, nprocs, cpu_devices, ckpt_path=None,
+           timeout=1800):
+    procs, logs = [], []
+    for pid in range(nprocs):
+        log = open(os.path.join(out_dir, f"proc{pid}.stderr"), "w")
+        cmd = [sys.executable, os.path.join(REPO, "scripts/train.py"),
+               "--config", cfg_path, "--output_path", out_dir,
+               "--exp_name", "drill", "--debug", "--platform", "cpu",
+               "--cpu_devices", str(cpu_devices), "--multihost",
+               "--coordinator", f"127.0.0.1:{port}",
+               "--num_processes", str(nprocs), "--process_id", str(pid)]
+        if ckpt_path:
+            cmd += ["--ckpt_path", ckpt_path]
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        procs.append(subprocess.Popen(cmd, cwd=REPO, stdout=log, stderr=log,
+                                      env=env))
+        logs.append(log.name)
+    deadline = time.time() + timeout
+    rcs = [p.wait(timeout=max(10, deadline - time.time())) for p in procs]
+    return rcs, logs
+
+
+def parse_losses(log_path):
+    with open(log_path) as f:
+        text = f.read()
+    return {int(m.group(1)): m.group(2)
+            for m in ITER_RE.finditer(text)}, text
+
+
+def exp_dir(out_dir):
+    for name in sorted(os.listdir(out_dir)):
+        if os.path.isdir(os.path.join(out_dir, name)) and name.startswith("drill"):
+            return os.path.join(out_dir, name)
+    raise FileNotFoundError(f"no drill exp dir under {out_dir}")
+
+
+def load_ckpt_params(ckpt_path):
+    from iterated_learning_for_vlm_tpu.train.checkpoint import restore_checkpoint
+    from iterated_learning_for_vlm_tpu.train.optim import (
+        adamw_init, trainable_mask_tree,
+    )
+    from iterated_learning_for_vlm_tpu.train.train_state import TrainState
+    from iterated_learning_for_vlm_tpu.models import model_entry
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    cfg = yaml.safe_load(CONFIG.format(shards="unused"))
+    model = model_entry(cfg["model"])
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                        jnp.zeros((1, 16), jnp.int32),
+                        jnp.zeros((1, 16)))["params"]
+    template = TrainState.create(params, adamw_init(params),
+                                 trainable_mask_tree(params, frozenset()),
+                                 params["space_dict"])
+    return restore_checkpoint(ckpt_path, template)
+
+
+def run_leg(tag, result, cfg_path, workdir, port, nprocs, cpu_devices,
+            ckpt_path=None, timeout=1800):
+    out = os.path.join(workdir, tag)
+    os.makedirs(out, exist_ok=True)
+    rcs, logs = launch(cfg_path, out, port, nprocs, cpu_devices,
+                       ckpt_path=ckpt_path, timeout=timeout)
+    result[f"{tag}_rcs"] = rcs
+    assert rcs == [0] * nprocs, (tag, rcs, open(logs[0]).read()[-3000:],
+                                 open(logs[-1]).read()[-3000:])
+    parsed = [parse_losses(p) for p in logs]
+    losses = [l for l, _ in parsed]
+    texts = [t for _, t in parsed]
+    for i in range(1, nprocs):
+        assert losses[0] == losses[i], (tag, "proc loss mismatch", i,
+                                        losses[0], losses[i])
+    return out, losses[0], texts
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/ilvlm_mh4_drill")
+    ap.add_argument("--port", type=int, default=12491)
+    ap.add_argument("--timeout", type=int, default=1800)
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    shards = os.path.join(args.workdir, "shards")
+    if not os.path.exists(os.path.join(shards, "00003.tar")):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools/make_train_shards.py"),
+                        shards, "--shards", "4", "--per-shard", "24",
+                        "--image-size", "32"], check=True, cwd=REPO)
+    cfg_path = os.path.join(args.workdir, "drill.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CONFIG.format(shards=shards))
+
+    result = {"ok": False, "mesh": "dp2 x tp2", "checks": {}}
+
+    # ---- leg T2: 2 procs x 2 devices (tp inside the process) --------------
+    out2, l2, t2 = run_leg("T2", result, cfg_path, args.workdir, args.port,
+                           nprocs=2, cpu_devices=2, timeout=args.timeout)
+    assert len(l2) == 12, l2
+    result["checks"]["t2_hosts_identical_losses"] = True
+    result["T2_losses"] = l2
+    assert all("synced context buckets engaged" in t for t in t2)
+    result["checks"]["t2_synced_buckets_engaged"] = True
+
+    # ---- leg T4: 4 procs x 1 device (tp across processes) ------------------
+    out4, l4, t4 = run_leg("T4", result, cfg_path, args.workdir,
+                           args.port + 1, nprocs=4, cpu_devices=1,
+                           timeout=args.timeout)
+    assert len(l4) == 12, l4
+    result["checks"]["t4_hosts_identical_losses"] = True
+    result["T4_losses"] = l4
+    # the headline: same mesh, same streams => byte-identical loss traces
+    assert l2 == l4, ("T2 vs T4 loss mismatch", l2, l4)
+    result["checks"]["t4_matches_t2_losses"] = True
+    assert all("synced context buckets engaged" in t for t in t4)
+    assert any("IL reset" in t or "reset" in t.lower() for t in t4)
+    result["checks"]["t4_il_reset_fired"] = True
+    ck4 = os.path.join(exp_dir(out4), "checkpoints")
+    for step in (4, 12):
+        assert os.path.isdir(os.path.join(ck4, f"ckpt_{step}")), os.listdir(ck4)
+
+    # ---- leg T4R: 4 procs resume T4 mid-epoch from ckpt_4 ------------------
+    outr, lr, tr = run_leg("T4R", result, cfg_path, args.workdir,
+                           args.port + 2, nprocs=4, cpu_devices=1,
+                           ckpt_path=os.path.join(ck4, "ckpt_4"),
+                           timeout=args.timeout)
+    assert sorted(lr) == list(range(5, 13)), lr
+    assert any("mid-epoch resume: skipping the first 4 batches" in t
+               for t in tr), tr[0][-2000:]
+    assert {k: v for k, v in l4.items() if k >= 5} == lr, (l4, lr)
+    result["checks"]["t4r_mid_epoch_resume_losses_identical"] = True
+    result["T4R_losses"] = lr
+
+    # ---- bit-identical final states ----------------------------------------
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    ck2 = os.path.join(exp_dir(out2), "checkpoints")
+    ckr = os.path.join(exp_dir(outr), "checkpoints")
+    sa = load_ckpt_params(os.path.join(ck4, "ckpt_12"))
+    n_leaves = len(jax.tree_util.tree_leaves(sa.params))
+    for tag, ck in (("t2_final_params_bit_identical", ck2),
+                    ("t4r_final_params_bit_identical", ckr)):
+        sb = load_ckpt_params(os.path.join(ck, "ckpt_12"))
+        mismatch = []
+        for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(sa.params),
+            jax.tree_util.tree_leaves_with_path(sb.params),
+        ):
+            if not np.array_equal(np.asarray(la), np.asarray(lb)):
+                mismatch.append(jax.tree_util.keystr(pa))
+        assert not mismatch, (tag, mismatch[:10])
+        result["checks"][tag] = True
+    result["params_leaves_compared"] = n_leaves
+    result["ok"] = True
+
+    dest = os.path.join(REPO, "results", "mh4_drill.json")
+    with open(dest, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    print(f"\nmh4_drill: OK -> {dest}")
+
+
+if __name__ == "__main__":
+    main()
