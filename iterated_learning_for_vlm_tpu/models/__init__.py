@@ -39,6 +39,9 @@ def _common(kwargs: Mapping[str, Any]):
     fused_attn = bool(kwargs.get("fused_attn", False))
     fused_attn_group = int(kwargs.get("fused_attn_group", 2))
     fused_attn_sample_group = int(kwargs.get("fused_attn_sample_group", 2))
+    fused_attn_bwd_fuse3 = bool(kwargs.get("fused_attn_bwd_fuse3", False))
+    fused_attn_group_bwd = kwargs.get("fused_attn_group_bwd")
+    fused_attn_sample_group_bwd = kwargs.get("fused_attn_sample_group_bwd")
     unroll = bool(kwargs.get("unroll", False))
     attn_layout = str(kwargs.get("attn_layout", "bhqk"))
     for kw in (img_kw, txt_kw):
@@ -47,6 +50,9 @@ def _common(kwargs: Mapping[str, Any]):
         kw.setdefault("fused_attn", fused_attn)
         kw.setdefault("fused_attn_group", fused_attn_group)
         kw.setdefault("fused_attn_sample_group", fused_attn_sample_group)
+        kw.setdefault("fused_attn_bwd_fuse3", fused_attn_bwd_fuse3)
+        kw.setdefault("fused_attn_group_bwd", fused_attn_group_bwd)
+        kw.setdefault("fused_attn_sample_group_bwd", fused_attn_sample_group_bwd)
         kw.setdefault("unroll", unroll)
         kw.setdefault("attn_layout", attn_layout)
     return img_kw, txt_kw, dtype

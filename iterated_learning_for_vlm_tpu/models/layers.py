@@ -98,6 +98,12 @@ class MultiheadAttention(nn.Module):
     # overhead-bound at tiny S; swept on-chip: vision g=2 x sg=2 beats the
     # round-2 g=4 x sg=1 by ~14% per layer fwd+bwd)
     fused_attn_sample_group: int = 2
+    # 3-dot backward body (round 5, ops/fused_attention.py:_bwd_kernel_fused3)
+    # + optional backward-only (head_group, sample_group) override — the bwd
+    # body runs more dots than fwd, so its optimum tiling can differ
+    fused_attn_bwd_fuse3: bool = False
+    fused_attn_group_bwd: Optional[int] = None
+    fused_attn_sample_group_bwd: Optional[int] = None
     # XLA-path score-tensor layout: "bhqk" (canonical) or "bqhk" (head-minor
     # scores — skips the [B,S,H,hd]<->[B,H,S,hd] canonicalization transposes;
     # measured 2.084 -> 1.970 ms/layer fwd+bwd at the text S=77 shape,
@@ -134,6 +140,9 @@ class MultiheadAttention(nn.Module):
             out = fused_tiny_attention(qkv, self.num_heads, bias=bias,
                                        head_group=group,
                                        sample_group=self.fused_attn_sample_group,
+                                       head_group_bwd=self.fused_attn_group_bwd,
+                                       sample_group_bwd=self.fused_attn_sample_group_bwd,
+                                       bwd_fuse3=self.fused_attn_bwd_fuse3,
                                        qkv_bias=in_bias.astype(qkv.dtype))
             return self._project_out(out, d), None
 
@@ -225,6 +234,9 @@ class ResidualAttentionBlock(nn.Module):
     fused_attn: bool = False
     fused_attn_group: int = 2
     fused_attn_sample_group: int = 2
+    fused_attn_bwd_fuse3: bool = False
+    fused_attn_group_bwd: Optional[int] = None
+    fused_attn_sample_group_bwd: Optional[int] = None
     attn_layout: str = "bhqk"
     collect_hidden: bool = False
     collect_attn: bool = False
@@ -244,6 +256,9 @@ class ResidualAttentionBlock(nn.Module):
             fused_attn=self.fused_attn,
             fused_attn_group=self.fused_attn_group,
             fused_attn_sample_group=self.fused_attn_sample_group,
+            fused_attn_bwd_fuse3=self.fused_attn_bwd_fuse3,
+            fused_attn_group_bwd=self.fused_attn_group_bwd,
+            fused_attn_sample_group_bwd=self.fused_attn_sample_group_bwd,
             attn_layout=self.attn_layout,
             name="attn",
         )(LayerNorm(dtype=self.dtype, name="ln_1")(x), bias=bias,
@@ -278,6 +293,9 @@ class Transformer(nn.Module):
     fused_attn: bool = False
     fused_attn_group: int = 2
     fused_attn_sample_group: int = 2
+    fused_attn_bwd_fuse3: bool = False
+    fused_attn_group_bwd: Optional[int] = None
+    fused_attn_sample_group_bwd: Optional[int] = None
     attn_layout: str = "bhqk"
     # Unroll the layer loop at trace time (params stay stacked [L, ...], so
     # checkpoints are unchanged).  Costs compile time; lets the XLA scheduler
@@ -327,6 +345,9 @@ class Transformer(nn.Module):
             fused_attn=self.fused_attn,
             fused_attn_group=self.fused_attn_group,
             fused_attn_sample_group=self.fused_attn_sample_group,
+            fused_attn_bwd_fuse3=self.fused_attn_bwd_fuse3,
+            fused_attn_group_bwd=self.fused_attn_group_bwd,
+            fused_attn_sample_group_bwd=self.fused_attn_sample_group_bwd,
             attn_layout=self.attn_layout,
             collect_hidden=return_hidden_states,
             collect_attn=return_attn_weights,

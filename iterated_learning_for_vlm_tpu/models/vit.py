@@ -33,6 +33,9 @@ class VisionConfig:
     fused_attn: bool = False
     fused_attn_group: int = 2
     fused_attn_sample_group: int = 2
+    fused_attn_bwd_fuse3: bool = False
+    fused_attn_group_bwd: int | None = None
+    fused_attn_sample_group_bwd: int | None = None
     attn_layout: str = "bhqk"
     unroll: bool = False
 
@@ -113,6 +116,9 @@ class VisionTransformer(nn.Module):
             fused_attn=cfg.fused_attn,
             fused_attn_group=cfg.fused_attn_group,
             fused_attn_sample_group=cfg.fused_attn_sample_group,
+            fused_attn_bwd_fuse3=cfg.fused_attn_bwd_fuse3,
+            fused_attn_group_bwd=cfg.fused_attn_group_bwd,
+            fused_attn_sample_group_bwd=cfg.fused_attn_sample_group_bwd,
             attn_layout=cfg.attn_layout,
             name="transformer",
         )(x, return_attn_weights=return_attn)
