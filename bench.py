@@ -61,7 +61,8 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
               fused_attn: bool = False, fused_attn_group: int = 2,
               fused_attn_text: bool = None, fused_attn_text_group: int = 2,
               fused_attn_sample_group: int = 2,
-              fused_attn_text_sample_group: int = 2):
+              fused_attn_text_sample_group: int = 2,
+              bwd_fuse3: bool = False):
     if fused_attn_text is None:
         fused_attn_text = fused_attn
     return {
@@ -69,10 +70,12 @@ def model_cfg(remat: bool, fused: bool, flash: bool, unroll: bool = False,
         "kwargs": {
             "image_encode": {"embed_dim": 512, "fused_attn": fused_attn,
                              "fused_attn_group": fused_attn_group,
-                             "fused_attn_sample_group": fused_attn_sample_group},
+                             "fused_attn_sample_group": fused_attn_sample_group,
+                             "fused_attn_bwd_fuse3": bwd_fuse3},
             "text_encode": {"embed_dim": 512, "fused_attn": fused_attn_text,
                             "fused_attn_group": fused_attn_text_group,
-                            "fused_attn_sample_group": fused_attn_text_sample_group},
+                            "fused_attn_sample_group": fused_attn_text_sample_group,
+                            "fused_attn_bwd_fuse3": bwd_fuse3},
             "fdt": {
                 "sd_temperature": 1000, "att_func_type": "sparsemax",
                 "pool_type": "max", "sd_num": 4096, "sd_dim": 512,
@@ -157,7 +160,7 @@ def measure(batch_size=256, steps=20, warmup=3, remat=False, fused=True,
             flash=False, unroll=True, fused_attn=True, fused_attn_group=2,
             fused_attn_text=None, fused_attn_text_group=2,
             fused_attn_sample_group=2, fused_attn_text_sample_group=None,
-            bf16_moments=False, ctx=32):
+            bf16_moments=False, ctx=32, bwd_fuse3=False):
     """One timed configuration; returns pairs/sec/chip."""
     if fused_attn_text is None:
         # shape-aware default: the fused text kernel WINS at the ctx-32
@@ -170,7 +173,8 @@ def measure(batch_size=256, steps=20, warmup=3, remat=False, fused=True,
     model = model_entry(model_cfg(remat, fused, flash, unroll, fused_attn,
                                   fused_attn_group, fused_attn_text,
                                   fused_attn_text_group, fused_attn_sample_group,
-                                  fused_attn_text_sample_group))
+                                  fused_attn_text_sample_group,
+                                  bwd_fuse3=bwd_fuse3))
 
     rng = np.random.default_rng(0)
     batch = {
@@ -306,6 +310,8 @@ if __name__ == "__main__":
                         "--ctx 77 is the reference's always-full context for "
                         "the like-for-like kernel comparison "
                         "(tools/ctx_bucket_ab.py: 2058 @77 vs 2810 @32).")
+    p.add_argument("--bwd-fuse3", action="store_true",
+                   help="3-dot fused-attention backward body (round 5)")
     p.add_argument("--attn-sample-group-text", type=int, default=None,
                    help="samples fused per block-diagonal matmul for the "
                         "TEXT tower (default: auto — 4 at ctx<=64, the swept "
@@ -322,7 +328,8 @@ if __name__ == "__main__":
              fused_attn_text_group=a.attn_group_text,
              fused_attn_sample_group=a.attn_sample_group,
              fused_attn_text_sample_group=a.attn_sample_group_text,
-             bf16_moments=a.bf16_moments, ctx=a.ctx)
+             bf16_moments=a.bf16_moments, ctx=a.ctx,
+             bwd_fuse3=a.bwd_fuse3)
     except Exception as e:  # fall back so the driver always gets a line
         msg = str(e)
         if "memory" in msg.lower() or "RESOURCE" in msg:

@@ -50,6 +50,40 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def _identity(a):
+    return a
+
+
+def warm_collectives(mesh: Mesh) -> None:
+    """Establish every cross-process communicator context up front.
+
+    Backend communicator contexts initialize lazily on FIRST collective
+    use; on CPU clusters the Gloo rendezvous has a hard 30 s timeout.  When
+    the first collective sits AFTER the solver's heavy jit compiles,
+    processes on small boxes reach it minutes apart and the rendezvous
+    dies (observed in the 4-process dp2 x tp2 drill: cold compiles
+    serialize on one core).  Running one tiny psum over each mesh axis and
+    over the full mesh right after mesh creation — while every process is
+    still in lockstep — pins all the contexts the compiled steps will
+    later reuse.  No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    names = tuple(mesh.axis_names)
+
+    def body(a):
+        for ax in list(names) + [names]:
+            a = jax.lax.psum(a, ax)
+        return a
+
+    n = int(np.prod([mesh.shape[k] for k in names]))
+    arr = jnp.arange(n, dtype=jnp.float32)
+    f = jax.jit(shard_map(body, mesh=mesh, in_specs=P(names), out_specs=P()))
+    np.asarray(f(arr))  # fence: contexts exist once this returns
+
+
 def put_global(x: Any, sharding: NamedSharding) -> Any:
     """``device_put`` that also works on multi-process meshes.
 
@@ -58,9 +92,16 @@ def put_global(x: Any, sharding: NamedSharding) -> Any:
     shards.  Every process holds the full host value (identically-seeded
     init — the SPMD replacement for the reference's rank-0 broadcast,
     ``torch_ddp_dist.py:52-67``), so the callback slices it per shard.
-    Single-process: plain ``device_put`` (zero-copy paths preserved)."""
+    A value that is ALREADY a global device array spanning non-addressable
+    devices (e.g. a jitted fresh-init draw under tensor parallelism — found
+    by the 4-process dp2 x tp2 drill at the IL reset) cannot be fetched to
+    host at all; it is resharded with a compiled identity instead (SPMD-
+    native, same dispatch on every process).  Single-process: plain
+    ``device_put`` (zero-copy paths preserved)."""
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return jax.jit(_identity, out_shardings=sharding)(x)
     arr = np.asarray(x)
     return jax.make_array_from_callback(arr.shape, sharding,
                                         lambda idx: arr[idx])

@@ -104,6 +104,11 @@ class Solver:
         model_parallel = int(pcfg.get("model_parallel", 1) or 1)
         self.mesh = mesh if mesh is not None else create_mesh(
             model_parallel=model_parallel)
+        # Pin cross-process communicator contexts while processes are still
+        # in lockstep (lazy first-use init + 30 s Gloo rendezvous vs
+        # minutes of compile skew — parallel/mesh.py:warm_collectives).
+        from ..parallel.mesh import warm_collectives
+        warm_collectives(self.mesh)
         self.world_size = int(np.prod(list(self.mesh.shape.values())))
         self.is_fdt = "fdt" in config.model.type
         # Method-recipe dispatch (reference ships one solver per method,

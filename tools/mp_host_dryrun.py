@@ -77,6 +77,9 @@ def main():
     assert jax.process_count() == args.num_processes
     # dp (and optionally tp) over ALL processes' devices
     mesh = create_mesh(model_parallel=args.model_parallel)
+    from iterated_learning_for_vlm_tpu.parallel.mesh import warm_collectives
+
+    warm_collectives(mesh)  # pin Gloo contexts before the compile skew
 
     if args.fused_kernels:
         from iterated_learning_for_vlm_tpu.models import (
@@ -105,12 +108,17 @@ def main():
         "tokens": rng.integers(1, 49407, (b, ctx)).astype(np.int32),
         "pad_mask": np.zeros((b, ctx), np.float32),
     }
-    # each process contributes ITS rows (the multi-host loader contract)
-    assert b % args.num_processes == 0, (
-        f"--global-batch {b} must divide by --num-processes "
-        f"{args.num_processes}")
-    lo = args.process_id * (b // args.num_processes)
-    hi = lo + b // args.num_processes
+    # each process contributes its DATA-RANK's rows (the multi-host loader
+    # contract, parallel/mesh.py:data_rank_world): when tp spans processes,
+    # same-dp-row processes contribute IDENTICAL rows, matching the
+    # solver's loader split
+    from iterated_learning_for_vlm_tpu.parallel.mesh import data_rank_world
+
+    dr, dw = data_rank_world(mesh)
+    assert b % dw == 0, (
+        f"--global-batch {b} must divide by the {dw} loader streams")
+    lo = dr * (b // dw)
+    hi = lo + b // dw
     local = {k: v[lo:hi] for k, v in gbatch.items()}
     batch = host_local_to_global(local, mesh)
 
