@@ -218,6 +218,13 @@ def main():
     if not os.path.exists(os.path.join(cls_root, "test", "nshards.txt")):
         sh([sys.executable, "tools/make_eval_set.py", cls_root,
             "--per-class", "4"], os.path.join(args.root, "mkcls.log"))
+    if not os.path.exists(os.path.join(cls_root, "train", "nshards.txt")):
+        # linear probing fits its head on the dataset's train split
+        # (reference cli.py --train_split); held out via a distinct noise
+        # stream, same class prototypes
+        sh([sys.executable, "tools/make_eval_set.py", cls_root,
+            "--split", "train", "--per-class", "8", "--noise-seed", "778"],
+           os.path.join(args.root, "mkcls_train.log"))
     retr_root = os.path.join(args.root, "eval_retr")
     if not os.path.exists(os.path.join(retr_root, "test", "nshards.txt")):
         from iterated_learning_for_vlm_tpu.data.synthetic import SyntheticClipData
