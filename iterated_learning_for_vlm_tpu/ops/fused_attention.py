@@ -223,7 +223,7 @@ def _bwd_kernel(qkv_ref, *refs, heads, group, scale, sample_group,
 
 
 def _bwd_kernel_fused3(qkv_ref, *refs, heads, group, scale, sample_group,
-                       has_bias=False):
+                       has_bias=False, concat_dsp=True):
     """Backward with the dot count cut 5 -> 3 (the kernel body is
     issue-overhead-bound at tiny S, so fewer/bigger MXU dots win even at
     2x block-diagonal FLOP waste):
@@ -237,10 +237,17 @@ def _bwd_kernel_fused3(qkv_ref, *refs, heads, group, scale, sample_group,
     Operand concatenations are built directly in the VMEM stack scratches:
     ``lhs`` holds q|do column blocks, ``kv`` holds the block-diagonal k/v
     (its zero blocks are zeroed once per program and never overwritten), and
-    ``dsp`` holds ds|p column blocks."""
+    ``dsp`` holds ds|p column blocks.  ``concat_dsp=False`` is the 4-dot
+    variant (``bwd_fuse3=2``): dot2 splits into ds^T @ [q|do] and
+    p^T @ [q|do] — one more dot issue, but no [R, 2R] VMEM concat stores."""
     bias3_ref = refs[0] if has_bias else None
-    mask_ref, dout_ref, dqkv_ref, lhs_scr, kv_scr, dsp_scr = (
-        refs[1 if has_bias else 0:])
+    if concat_dsp:
+        mask_ref, dout_ref, dqkv_ref, lhs_scr, kv_scr, dsp_scr = (
+            refs[1 if has_bias else 0:])
+    else:
+        mask_ref, dout_ref, dqkv_ref, lhs_scr, kv_scr = (
+            refs[1 if has_bias else 0:])
+        dsp_scr = None
     bb, rows, three_d = qkv_ref.shape
     d = three_d // 3
     hd = d // heads
@@ -284,21 +291,33 @@ def _bwd_kernel_fused3(qkv_ref, *refs, heads, group, scale, sample_group,
             p = jax.nn.softmax(logits, axis=-1)
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             dsc = ds.astype(qkv_ref.dtype)
-            dsp_scr[:, 0:R] = dsc
-            dsp_scr[:, R:2 * R] = p.astype(qkv_ref.dtype)
-            # dot2: contract query index -> [2R, 2hd]; [0:R, 0:hd] = ds^T q
-            # (-> dk after scale), [R:2R, hd:2hd] = p^T do (= dv)
-            both = jax.lax.dot_general(
-                dsp_scr[...], lhs, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if concat_dsp:
+                dsp_scr[:, 0:R] = dsc
+                dsp_scr[:, R:2 * R] = p.astype(qkv_ref.dtype)
+                # dot2: contract query index -> [2R, 2hd]; [0:R, 0:hd] =
+                # ds^T q (-> dk after scale), [R:2R, hd:2hd] = p^T do (= dv)
+                both = jax.lax.dot_general(
+                    dsp_scr[...], lhs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dk_blk = both[0:R, 0:hd]
+                dv_blk = both[R:2 * R, hd:2 * hd]
+            else:
+                dkq = jax.lax.dot_general(
+                    dsc, lhs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [R,2hd]: [dk*|..]
+                dvq = jax.lax.dot_general(
+                    p.astype(qkv_ref.dtype), lhs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [R,2hd]: [..|dv]
+                dk_blk = dkq[:, 0:hd]
+                dv_blk = dvq[:, hd:2 * hd]
             # dot3: dq = ds @ k
             dq = jax.lax.dot_general(
                 dsc, kv_scr[0:R, 0:hd], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             dt = dqkv_ref.dtype
             dqv = dq.astype(dt)
-            dkv = (both[0:R, 0:hd] * scale).astype(dt)
-            dvv = both[R:2 * R, hd:2 * hd].astype(dt)
+            dkv = (dk_blk * scale).astype(dt)
+            dvv = dv_blk.astype(dt)
             for si in range(sg):
                 for h in range(group):
                     rs = slice((si * group + h) * sp,
@@ -390,10 +409,12 @@ def _bwd_local(qkv, bias, bias3, dout, *, heads, group, bb, sg, fuse3=False):
     operands.append(dout)
     if fuse3:
         R = group * sg * sp
-        kernel = _bwd_kernel_fused3
+        concat = int(fuse3) != 2
+        kernel = functools.partial(_bwd_kernel_fused3, concat_dsp=concat)
         scratch = [pltpu.VMEM((R, 2 * hd), qkv.dtype),      # lhs = [q | do]
-                   pltpu.VMEM((2 * R, 2 * hd), qkv.dtype),  # kv block-diag
-                   pltpu.VMEM((R, 2 * R), qkv.dtype)]       # [ds | p]
+                   pltpu.VMEM((2 * R, 2 * hd), qkv.dtype)]  # kv block-diag
+        if concat:
+            scratch.append(pltpu.VMEM((R, 2 * R), qkv.dtype))  # [ds | p]
     else:
         kernel = _bwd_kernel
         scratch = _scratch(4, sp, group * sg, hd, qkv.dtype)
@@ -476,7 +497,7 @@ def fused_tiny_attention(
     head_group_bwd: Optional[int] = None,
     sample_group_bwd: Optional[int] = None,
     qkv_bias: Optional[jnp.ndarray] = None,
-    bwd_fuse3: bool = False,
+    bwd_fuse3: int = 0,
 ) -> jnp.ndarray:
     """Multi-head self-attention on packed QKV for tiny sequence lengths.
 
