@@ -37,6 +37,13 @@ block-diagonal matmuls so the MXU sees real shapes:
   with no formatting either.  Zero-padded ``dout`` rows make every padded
   contribution vanish exactly (dv: zero rows; dq/dk: ds rows are 0 because
   dp rows are 0).
+- the backward body is issue-overhead-bound (its dots' FLOP time is ~1% of
+  their issue cost at these shapes), so round 5 adds fused backward bodies
+  (``bwd_fuse3``): the 5 per-group dots collapse to 3 by block-concatenating
+  operands — ``[q|do] @ blockdiag(k,v)^T`` yields logits and dp in one dot,
+  ``[ds|p]^T @ [q|do]`` yields dk and dv in another (off-diagonal blocks
+  are discarded block-diagonal waste) — or to 4 without the ``[ds|p]``
+  VMEM concat (``bwd_fuse3=2``).  Swept on-chip per tower shape.
 
 Numerics match the XLA path (fp32 logits/softmax, bf16 value dot) — pinned
 by ``tests/test_fused_attention.py``.
