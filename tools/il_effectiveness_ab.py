@@ -354,6 +354,8 @@ def main():
         result["summary"] = summarize(result, args.pairs)
         with open(dest, "w") as f:  # checkpoint the artifact after each arm
             json.dump(result, f, indent=1)
+        import gc
+        gc.collect()  # arms run in-process; drop the last arm's host copies
 
     s = result.get("summary", {})
     if s:
