@@ -47,6 +47,11 @@ def main():
            "tail": tail[-3:]}
     name = f"test_{'fast' if args.fast else 'all'}_r{args.round}.json"
     dest = os.path.join(REPO, "results", name)
+    if proc.returncode != 0:
+        # keep the evidence: the JSON tail alone cannot diagnose a failure
+        with open(dest.replace(".json", ".log"), "w") as f:
+            f.write(proc.stdout or "")
+            f.write(proc.stderr or "")
     with open(dest, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec, indent=1))
