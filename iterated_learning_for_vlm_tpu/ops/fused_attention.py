@@ -481,8 +481,24 @@ def _attend_fwd(qkv, bias, bias3, heads, group, bb, sg, group_bwd, sg_bwd,
 
 def _attend_bwd(heads, group, bb, sg, group_bwd, sg_bwd, fuse3, res, g):
     qkv, bias, bias3 = res
-    dqkv = _bwd(qkv, bias, bias3, g.astype(qkv.dtype), heads=heads,
-                group=group_bwd, bb=bb, sg=sg_bwd, fuse3=fuse3)
+    if int(fuse3) == 3:
+        # best-of-both split (round-5 microbench): the Pallas kernel wins
+        # the FORWARD at every tower shape, but XLA's backward beats every
+        # swept backward-kernel tiling at S=77 — so take the XLA vjp of the
+        # numerics-identical einsum formulation for the backward half.
+        s = qkv.shape[1]
+        bias_s = jax.lax.stop_gradient(bias[:s, :s])
+
+        def ref(x):
+            if bias3 is not None:
+                x = x + bias3[0][None, None, :].astype(x.dtype)
+            return xla_attention_reference(x, heads, bias_s)
+
+        _, vjp = jax.vjp(ref, qkv)
+        (dqkv,) = vjp(g.astype(qkv.dtype))
+    else:
+        dqkv = _bwd(qkv, bias, bias3, g.astype(qkv.dtype), heads=heads,
+                    group=group_bwd, bb=bb, sg=sg_bwd, fuse3=fuse3)
     if bias3 is None:
         return dqkv, None, None
     # the absorbed in_proj bias sees every (sample, position) once, so its

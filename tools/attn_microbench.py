@@ -161,7 +161,7 @@ def sweep_fuse3(name, b, s, heads, hd, causal, configs):
     for cfg in configs:
         g, sg = cfg[:2]
         bb = cfg[2] if len(cfg) > 2 else 8
-        for fuse3 in (0, 1, 2):
+        for fuse3 in (0, 3):
             fb = grad_of(lambda x, g=g, sg=sg, bb=bb, f3=fuse3:
                          fused_tiny_attention(
                              x, heads, bias=bias, head_group=g,
