@@ -15,7 +15,18 @@ Round 2.2 recheck (kernel now reads/writes at TRUE S, no 77->80 pad pass):
   text still ties/loses — xla 1.68/2.12 vs best fused fwd+bwd 2.15
   (g2sg2, g1sg4); the text tower stays on the XLA path.
 
-Usage: python tools/attn_microbench.py [vision|text|bwd]
+Round 5 (`fuse3` mode) closes the S=77 question with numbers: vs XLA's
+1.771 ms/layer fwd+bwd, the 5-dot Pallas backward loses at every (g, sg,
+bb) tiling (best 1.93); the 3-dot block-concatenated backward body and the
+4-dot no-concat variant both lose (2.02+ — the extra block-diagonal FLOPs
+and wider operand stores outweigh the saved dot-issue overhead); the
+hybrid Pallas-forward/XLA-backward split (bwd_fuse3=3) reaches 1.760 —
+parity within run-to-run noise (the kernel wins the forward alone, 1.247
+vs 1.329, but the custom_vjp boundary eats the margin).  Full-context text
+stays on XLA; vision keeps the all-Pallas kernel (1.85 vs 2.82).  The
+README "ctx-77 roofline" section carries the full accounting.
+
+Usage: python tools/attn_microbench.py [vision|text|bwd|fuse3|xla77|text77]
 """
 import os
 import sys
