@@ -59,11 +59,16 @@ model:
 
 grad_clip: {{type: logit_scale_param_value, value: 3, max_value: 6}}
 
-t_decay: {{org_t: 1000, sd_T_decay_iter: 200, sd_T_decay_w: 0.5, sd_T_min: 1.0}}
+# decay_iter sized so T floors (~1.0) around 0.6*steps; lr 0.0002 is the
+# PROVEN healthy setting at this synthetic scale — the A/B study's 0.0005
+# no-IL arms degenerate to exact ln(bs) loss (dead sparsemax gradients)
+# past ~700 steps, and a first dress attempt at 0.0005 collapsed the same
+# way by step 900 (loss pinned at 4.1589 = ln 64, acc 0, for 800+ steps).
+t_decay: {{org_t: 1000, sd_T_decay_iter: 300, sd_T_decay_w: 0.5, sd_T_min: 1.0}}
 
 optimizer:
     type: AdamW
-    kwargs: {{lr: 0.0005, weight_decay: 0.1, betas: [0.9, 0.98], eps: 0.00000001}}
+    kwargs: {{lr: 0.0002, weight_decay: 0.1, betas: [0.9, 0.98], eps: 0.00000001}}
     pconfig:
         ln_w: {{weight_decay: 0}}
         ln_b: {{weight_decay: 0}}
@@ -72,7 +77,7 @@ optimizer:
 
 lr_scheduler:
     type: Cosine
-    kwargs: {{base_lr: 0.0005, warmup_lr: 0.0005, min_lr: 0.0,
+    kwargs: {{base_lr: 0.0002, warmup_lr: 0.0002, min_lr: 0.0,
              warmup_steps: 100, max_iter: {steps}}}
 
 data:
